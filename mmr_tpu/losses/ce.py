@@ -1,0 +1,30 @@
+"""Cross-entropy loss matching ``torch.nn.CrossEntropyLoss`` semantics
+(used by Path A: ``ModelTraining.py:342-360,594-603``): mean over all pixels
+of -log softmax at the target class, with optional ``ignore_index`` excluded
+from both the sum and the normalizer."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    ignore_index: int | None = None,
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    """``logits``: (N, H, W, C); ``target``: (N, H, W) int ids."""
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = jnp.clip(target.astype(jnp.int32), 0, num_classes - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    if ignore_index is not None:
+        mask = (target != ignore_index).astype(nll.dtype)
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(nll)

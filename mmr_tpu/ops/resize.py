@@ -1,0 +1,95 @@
+"""Image resize primitives with exact PyTorch-semantics options.
+
+Checkpoint/mask parity with the reference is sensitive to resize kernels
+(SURVEY.md §7.3(1)):
+
+- the reference's hand-written UNet "bilinear" upsample is actually
+  ``nn.Upsample(mode='nearest')`` (``MMR_Seg_Unet/.../unet_parts.py:262-266``)
+  — we expose that quirk as ``mode='nearest'``;
+- ResNetUNet uses bilinear ``align_corners=True``
+  (``MMR_Seg_Unet/.../resnet_unet.py:195``);
+- torchvision/PIL-style resizes in the datasets use half-pixel centers
+  (``align_corners=False``).
+
+All functions are NHWC, jit-friendly (static output shapes), and implemented
+as separable 1-D gathers + lerps along H then W — XLA lowers the axis gathers
+to efficient dynamic-slices and fuses the lerp arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _source_coords(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """Fractional source coordinate for each output index (numpy, trace-time)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    if in_size == 1 or out_size == 1:
+        if align_corners:
+            return np.zeros(out_size)
+    if align_corners:
+        scale = (in_size - 1) / max(out_size - 1, 1)
+        src = dst * scale
+    else:
+        scale = in_size / out_size
+        src = (dst + 0.5) * scale - 0.5
+    return np.clip(src, 0.0, in_size - 1)
+
+
+def _lerp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    src = _source_coords(out_size, in_size, align_corners)
+    lo = np.floor(src).astype(np.int32)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    wj = jnp.asarray(w, dtype=x_lo.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32).reshape(shape)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x_lo = x_lo.astype(jnp.float32)
+        x_hi = x_hi.astype(jnp.float32)
+    return x_lo * (1.0 - wj) + x_hi * wj
+
+
+def _nearest_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    # PyTorch nn.Upsample(mode='nearest') semantics: floor(dst * in/out)
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
+    idx = np.clip(idx.astype(np.int32), 0, in_size - 1)
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or HWC / NHW) images to ``out_hw``."""
+    h_axis = x.ndim - 3 if x.ndim >= 3 else 0
+    y = _lerp_axis(x, h_axis, out_hw[0], align_corners)
+    y = _lerp_axis(y, h_axis + 1, out_hw[1], align_corners)
+    return y
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbour resize (the UNet upsample quirk; also for masks)."""
+    h_axis = x.ndim - 3 if x.ndim >= 3 else 0
+    y = _nearest_axis(x, h_axis, out_hw[0])
+    y = _nearest_axis(y, h_axis + 1, out_hw[1])
+    return y
+
+
+def resize(x: jnp.ndarray, out_hw: tuple[int, int], mode: str = "bilinear", align_corners: bool = False) -> jnp.ndarray:
+    if mode == "nearest":
+        return resize_nearest(x, out_hw)
+    if mode == "bilinear":
+        return resize_bilinear(x, out_hw, align_corners)
+    raise ValueError(f"unknown resize mode {mode!r}")
+
+
+def upsample2x(x: jnp.ndarray, mode: str = "nearest", align_corners: bool = False) -> jnp.ndarray:
+    """×2 spatial upsample of NHWC, used by the decoders."""
+    return resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), mode, align_corners)

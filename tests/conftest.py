@@ -1,0 +1,19 @@
+"""Test configuration: run everything on the CPU backend with 8 virtual
+devices so mesh/sharding tests emulate an 8-chip ICI slice without hardware
+(SURVEY.md §4: the TPU-world analog of multi-node-without-a-cluster)."""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(6210)
