@@ -1,0 +1,93 @@
+"""Benchmark: frames/sec/chip at 512×512 training on the flagship model
+(UNet++ + MobileNetV3-small, the reference default — 3.71M params,
+35.19 GMACs @ 2×3×512×640 per ``MMR_EN:DE_CODER/README.md``). The timed step
+is the full production train step: on-device augmentation → bf16 forward →
+DiceCE → backward → clip(12) → AdamW.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Sync methodology: device scalars are fetched to host (``np.asarray``) for the
+warmup barrier and the stop barrier — ``block_until_ready`` does not actually
+block on the remote-TPU (axon) backend.
+
+Baseline: the reference publishes no throughput numbers (``BASELINE.md``), so
+``vs_baseline`` compares against an engineering estimate of the reference
+stack on A100-40GB: ≈84 GFLOPs/frame train cost (35.19 GMACs @ 512×640 fwd,
+×3 for fwd+bwd, rescaled to 512×512); PyTorch AMP conv nets with 16–96
+channels underfill tensor cores — ~8–12 TFLOPS effective → ≈120 frames/s.
+``vs_baseline`` = measured / 120.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_REFERENCE_TRAIN_FPS = 120.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmr_tpu.core.mesh import create_mesh, shard_batch
+    from mmr_tpu.data.augment import AugmentConfig
+    from mmr_tpu.losses import dice_ce_loss
+    from mmr_tpu.models import create_model
+    from mmr_tpu.models.factory import get_preprocessing
+    from mmr_tpu.train.optim import build_optimizer
+    from mmr_tpu.train.state import TrainState
+    from mmr_tpu.train.steps import make_train_step
+
+    classes = 10
+    hw = (512, 512)
+    batch = 32
+    mesh = create_mesh()
+    n_chips = mesh.devices.size
+
+    model, _ = create_model("UnetPlusPlus",
+                            encoder_name="tu-mobilenetv3_small_100",
+                            classes=classes)
+    pre = get_preprocessing("tu-mobilenetv3_small_100")
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        # param shapes are spatial-size independent — init at 64×64 for speed
+        variables = model.init({"params": jax.random.key(0)},
+                               jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    optimizer = build_optimizer("adamw", clip_grad_norm=12.0, weight_decay=1e-4)
+    state = TrainState.create(jax.device_put(variables), optimizer)
+    step = make_train_step(model, optimizer, dice_ce_loss, classes, mesh=mesh,
+                           n_accum=1, augment=AugmentConfig(patch_size=hw),
+                           preprocess=pre)
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(1, batch, *hw, 3).astype(np.float32)
+    masks = rng.randint(0, classes, (1, batch, *hw)).astype(np.int32)
+    d_imgs, d_masks = shard_batch(mesh, (imgs, masks), axis=1)
+
+    # warmup: compile + 3 steps, hard host sync
+    for i in range(3):
+        state, met = step(state, d_imgs, d_masks, jnp.float32(1e-4),
+                          jax.random.key(100 + i))
+    np.asarray(met["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, met = step(state, d_imgs, d_masks, jnp.float32(1e-4),
+                          jax.random.key(i))
+    np.asarray(met["loss"])  # hard sync
+    dt = time.perf_counter() - t0
+    fps = n_steps * batch / dt / n_chips
+
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip@512x512_unetpp_mbv3",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / A100_REFERENCE_TRAIN_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

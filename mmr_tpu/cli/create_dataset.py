@@ -1,0 +1,31 @@
+"""``mmr_create_dataset`` — ZIP→Zarr converter CLI (parity with
+``Data_Loader.py:629-695``): ``mmr_create_dataset <zip|dir> <out> <n_classes>
+"[H,W]"``."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="SAR-RARP50 ZIP → Zarr dataset")
+    parser.add_argument("zip_path", type=str,
+                        help="challenge ZIP (nested per-video zips) or a "
+                             "directory of video folders")
+    parser.add_argument("out_path", type=str)
+    parser.add_argument("n_classes", type=int)
+    parser.add_argument("patch_size", type=str, help='e.g. "[512,640]"')
+    args = parser.parse_args(argv)
+
+    from mmr_tpu.config.config import safe_eval
+    from mmr_tpu.data.convert import convert_zip_dataset
+
+    patch = safe_eval(args.patch_size)
+    out = convert_zip_dataset(args.zip_path, args.out_path, args.n_classes, patch)
+    print(f"Dataset written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,17 +84,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of arrays onto the mesh, batch axis sharded.
+def shard_batch(mesh: Mesh, batch, axis: int = 0):
+    """Place a host pytree of arrays onto the mesh with ``axis`` sharded over
+    the data mesh axis (axis 0 for plain batches; axis 1 for the train step's
+    stacked ``(n_accum, B, ...)`` microbatches).
 
     Uses ``jax.device_put`` with NamedSharding — on multi-host this expects
     per-host batches produced by :func:`local_batch_slice` and assembles the
     global array from host-local shards.
     """
 
+    single = mesh.devices.size == 1
+
     def _put(x):
         x = np.asarray(x)
-        sh = NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+        if single:  # plain transfer; NamedSharding costs extra on axon
+            return jax.device_put(x, mesh.devices.flat[0])
+        spec = [None] * x.ndim
+        spec[axis] = DATA_AXIS
+        sh = NamedSharding(mesh, P(*spec))
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sh, x)
         return jax.device_put(x, sh)

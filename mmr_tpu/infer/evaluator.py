@@ -1,0 +1,161 @@
+"""Inference drivers.
+
+- :func:`run_inference` — Path B's ``SegModel.run_inference``
+  (``Main_MMR_SegModel.py:1205-1367``): load best checkpoint, bf16 model
+  (the TPU analog of ``.half()+channels_last``, ``:1243-1244``), numbered
+  ``test_plots_i`` output dir with a config snapshot (``:1249-1256``),
+  sliding-window prediction over whole-video frame batches, per-video FPS and
+  per-class IoU with the background-drop ``preds-1/masks-1/ignore=-1`` trick
+  (``:1320-1326``), per-video triptych, overall per-class + AVG report
+  (``:1354-1367``).
+
+- :func:`evaluate_checkpoint` — Path A's ``ModelEval.py`` capability:
+  whole-image forward over a dataset, loss + streaming Evaluate metrics,
+  class-wise IoU/P/R/F1 printout (``ModelEval.py:259-304,363-458``).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from mmr_tpu.config.config import create_config
+from mmr_tpu.data.video_dataset import VideoFrameDataset
+from mmr_tpu.infer.sliding_window import make_sliding_window_fn
+from mmr_tpu.metrics.confusion import segmentation_stats
+from mmr_tpu.metrics.evaluate import Evaluate
+from mmr_tpu.metrics.iou import iou_score
+from mmr_tpu.monitor.plots import save_triptychs
+
+
+def _next_test_plots_dir(results_path: Path) -> Path:
+    i = 0
+    while (results_path / f"test_plots_{i}").exists():
+        i += 1
+    out = results_path / f"test_plots_{i}"
+    out.mkdir(parents=True)
+    return out
+
+
+def _report(per_frame_iou: np.ndarray, indent: str) -> float:
+    mean_per_class = per_frame_iou.mean(axis=0)
+    parts = [f"C{i + 1}: {v * 100:.2f}" for i, v in enumerate(mean_per_class)]
+    parts.append(f"AVG: {mean_per_class.mean() * 100:.2f}")
+    print(f"{indent}IoU scores per class: ")
+    print(f"{indent}    " + " - ".join(parts))
+    return float(mean_per_class.mean())
+
+
+def run_inference(
+    model,
+    variables,
+    dataset: VideoFrameDataset,
+    config: dict,
+    preprocess=None,
+    save_plots: bool = True,
+) -> dict:
+    results_path = Path(config["results_path"])
+    n_classes = int(config["n_classes"])
+    plot_dir = _next_test_plots_dir(results_path) if save_plots else None
+    if plot_dir is not None:
+        create_config(config, plot_dir)
+
+    sw = make_sliding_window_fn(
+        model, variables, config["patch_size"], n_classes + 1,
+        sw_batch_size=int(config.get("sw_batch_size", 24)),
+        overlap=float(config.get("sw_overlap", 0.5)),
+        preprocess=preprocess)
+
+    all_iou, video_stats = [], {}
+    current: list[np.ndarray] = []
+    seen: list[str] = []
+    video_start = time.time()
+    n_frames = 0
+    plot_item = None
+    start = time.time()
+
+    def flush_video(name: str):
+        nonlocal current, video_start, n_frames, plot_item
+        dt = time.time() - video_start
+        fps = n_frames / dt if dt > 0 else 0.0
+        print(f"    Inference time: {time.strftime('%H:%M:%S', time.gmtime(dt))} ({fps:.2f} fps)")
+        vid_iou = np.concatenate(current, axis=0)
+        all_iou.append(vid_iou)
+        mean_iou = _report(vid_iou, "        ")
+        video_stats[name] = {"fps": fps, "mean_iou": mean_iou}
+        if plot_item is not None and plot_dir is not None:
+            save_triptychs(*plot_item[:3], plot_dir / f"{plot_item[3]}.png")
+        current, n_frames, plot_item = [], 0, None
+        video_start = time.time()
+
+    for item in dataset:
+        name = item["id"]
+        if not seen or name != seen[-1]:
+            if seen:
+                flush_video(seen[-1])
+            seen.append(name)
+            print(f"Processing video: {name}")
+        frames = jnp.asarray(item["image"])
+        masks = item["mask"].astype(np.int32)
+        logits = sw(frames)
+        preds = np.asarray(jnp.argmax(logits, axis=-1))
+        # background-excluded per-frame per-class IoU (the −1 shift trick)
+        tp, fp, fn, tn = segmentation_stats(
+            jnp.asarray(preds - 1), jnp.asarray(masks - 1), n_classes,
+            ignore_index=-1)
+        current.append(np.asarray(iou_score(tp, fp, fn, tn)))
+        n_frames += frames.shape[0]
+        if plot_item is None:
+            plot_item = (np.asarray(frames), masks, preds,
+                         f"{name}_{item['t0']}-{item['t1']}")
+    if seen:
+        flush_video(seen[-1])
+
+    total = time.time() - start
+    print(f"\nTotal inference time: {time.strftime('%H:%M:%S', time.gmtime(total))}")
+    overall = np.concatenate(all_iou, axis=0) if all_iou else np.zeros((0, n_classes))
+    print("Overall IoU scores per class: ")
+    overall_mean = _report(overall, "") if len(overall) else 0.0
+    return {
+        "overall_mean_iou": overall_mean,
+        "per_class_iou": overall.mean(axis=0).tolist() if len(overall) else [],
+        "videos": video_stats,
+        "total_time_s": total,
+    }
+
+
+def evaluate_checkpoint(model, variables, batches, num_classes: int,
+                        loss_fn=None, preprocess=None) -> dict:
+    """Path-A standalone evaluation: whole-image forwards + streaming metrics.
+
+    ``batches``: iterable of (images NHWC f32, masks NHW int).
+    """
+    ev = Evaluate(num_classes)
+    losses = []
+    for images, masks in batches:
+        imgs = jnp.asarray(images)
+        if preprocess is not None:
+            imgs = preprocess(imgs)
+        logits = model.apply(variables, imgs, train=False)
+        if loss_fn is not None:
+            losses.append(float(loss_fn(logits, jnp.asarray(masks))))
+        ev.add_batch(logits, jnp.asarray(masks))
+    per_class_iou, miou = ev.iou()
+    p, r, f1 = ev.precision_recall_f1()
+    print("Class-wise metrics:")
+    for c in range(num_classes):
+        print(f"  class {c}: IoU {per_class_iou[c]:.4f} P {p[c]:.4f} "
+              f"R {r[c]:.4f} F1 {f1[c]:.4f}")
+    print(f"Mean IoU: {miou:.4f}  Mean F1: {float(f1.mean()):.4f}")
+    return {
+        "loss": float(np.mean(losses)) if losses else None,
+        "iou_per_class": per_class_iou.tolist(),
+        "mean_iou": miou,
+        "precision": p.tolist(),
+        "recall": r.tolist(),
+        "f1": f1.tolist(),
+        "mean_f1": float(f1.mean()),
+    }

@@ -1,0 +1,143 @@
+"""Sliding-window inference — MONAI ``sliding_window_inference`` capability
+(used at ``Main_MMR_SegModel.py:1309-1317`` with roi = training patch,
+``sw_batch_size`` windows per forward, overlap 0.5–0.75, Gaussian blending)
+rebuilt TPU-first:
+
+- the window grid is **static** per (image size, roi, overlap) — window
+  extraction, the batched forwards and the weighted scatter-add all live in
+  one jit, so full-frame prediction is one XLA program;
+- windows are processed in fixed-size batches via ``lax.map`` over a
+  pre-padded window stack (no dynamic shapes, no recompiles across frames of
+  the same video resolution — SURVEY.md §7.3(4));
+- blending uses MONAI's Gaussian importance map (σ = 0.125·roi, value-clipped
+  to its minimum positive value) or constant weights;
+- the window-batch axis is shardable over the data mesh: windows of one frame
+  fan out across chips and the blended sum is reduced back (the reference's
+  analog of "sequence parallelism", SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _window_starts(image_size: int, roi: int, overlap: float) -> list[int]:
+    """MONAI's dense_patch_slices start grid: interval = roi·(1-overlap),
+    last window clamped flush with the image edge."""
+    if roi >= image_size:
+        return [0]
+    interval = max(1, int(roi * (1.0 - overlap)))
+    starts = list(range(0, image_size - roi + interval, interval))
+    return [min(s, image_size - roi) for s in starts]
+
+
+def gaussian_importance_map(roi: tuple[int, int], sigma_scale: float = 0.125) -> np.ndarray:
+    """MONAI GaussianFilter-based importance map: centered 2-D Gaussian with
+    σ = sigma_scale·roi, min-clipped to its smallest positive value."""
+    h, w = roi
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    sy, sx = sigma_scale * h, sigma_scale * w
+    yy = np.exp(-0.5 * ((np.arange(h) - cy) / sy) ** 2)
+    xx = np.exp(-0.5 * ((np.arange(w) - cx) / sx) ** 2)
+    m = np.outer(yy, xx).astype(np.float32)
+    m = np.clip(m, m[m > 0].min(), None)
+    return m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("predictor", "roi", "sw_batch_size", "overlap", "mode",
+                     "num_classes"),
+)
+def sliding_window_inference(
+    inputs: jnp.ndarray,
+    predictor,
+    roi: tuple[int, int],
+    num_classes: int,
+    sw_batch_size: int = 24,
+    overlap: float = 0.5,
+    mode: str = "gaussian",  # | "constant"
+) -> jnp.ndarray:
+    """``inputs`` (N, H, W, C) → blended logits (N, H, W, num_classes).
+
+    ``predictor``: jit-traceable ``(B, rh, rw, C) -> (B, rh, rw, num_classes)``.
+    """
+    n, h, w, c = inputs.shape
+    rh, rw = roi
+    rh, rw = min(rh, h), min(rw, w)
+    ys = _window_starts(h, rh, overlap)
+    xs = _window_starts(w, rw, overlap)
+    coords = np.asarray([(y, x) for y in ys for x in xs], np.int32)  # (W, 2)
+    n_windows = len(coords)
+
+    if mode == "gaussian":
+        imp = jnp.asarray(gaussian_importance_map((rh, rw)))
+    else:
+        imp = jnp.ones((rh, rw), jnp.float32)
+
+    # pad window count to a multiple of sw_batch_size (static)
+    n_pad = -(-n_windows // sw_batch_size) * sw_batch_size
+    coords_p = np.concatenate(
+        [coords, np.tile(coords[-1:], (n_pad - n_windows, 1))], axis=0)
+    pad_mask = jnp.asarray(
+        (np.arange(n_pad) < n_windows).astype(np.float32))
+    coords_j = jnp.asarray(coords_p).reshape(-1, sw_batch_size, 2)
+    mask_j = pad_mask.reshape(-1, sw_batch_size)
+
+    def one_image(img):
+        def batch_step(carry, xs_):
+            out_sum, w_sum = carry
+            cbatch, valid = xs_
+
+            def extract(cy_cx):
+                return jax.lax.dynamic_slice(img, (cy_cx[0], cy_cx[1], 0), (rh, rw, c))
+
+            windows = jax.vmap(extract)(cbatch)  # (B, rh, rw, C)
+            logits = predictor(windows).astype(jnp.float32)
+
+            def scatter(carry2, j):
+                o, wsum = carry2
+                y, x = cbatch[j, 0], cbatch[j, 1]
+                wmap = imp * valid[j]
+                patch = logits[j] * wmap[..., None]
+                o = jax.lax.dynamic_update_slice(
+                    o, jax.lax.dynamic_slice(o, (y, x, 0), (rh, rw, num_classes)) + patch,
+                    (y, x, 0))
+                wsum = jax.lax.dynamic_update_slice(
+                    wsum, jax.lax.dynamic_slice(wsum, (y, x, 0), (rh, rw, 1)) + wmap[..., None],
+                    (y, x, 0))
+                return (o, wsum), None
+
+            (out_sum, w_sum), _ = jax.lax.scan(
+                scatter, (out_sum, w_sum), jnp.arange(sw_batch_size))
+            return (out_sum, w_sum), None
+
+        init = (jnp.zeros((h, w, num_classes), jnp.float32),
+                jnp.zeros((h, w, 1), jnp.float32))
+        (out_sum, w_sum), _ = jax.lax.scan(batch_step, init, (coords_j, mask_j))
+        return out_sum / jnp.maximum(w_sum, 1e-8)
+
+    return jax.vmap(one_image)(inputs)
+
+
+def make_sliding_window_fn(model, variables, roi, num_classes,
+                           sw_batch_size=24, overlap=0.5, mode="gaussian",
+                           preprocess=None):
+    """Bind a flax model into a frame-batch predictor
+    ``(N, H, W, 3) -> (N, H, W, C)`` logits."""
+
+    def predictor(windows):
+        return model.apply(variables, windows, train=False)
+
+    def run(frames):
+        if preprocess is not None:
+            frames = preprocess(frames)
+        return sliding_window_inference(
+            frames, predictor, tuple(roi), num_classes,
+            sw_batch_size=sw_batch_size, overlap=overlap, mode=mode)
+
+    return jax.jit(run)

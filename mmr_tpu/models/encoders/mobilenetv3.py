@@ -1,0 +1,136 @@
+"""MobileNetV3-Small encoder (timm ``mobilenetv3_small_100`` topology).
+
+The reference's default encoder (``common_utils.py:236``:
+``tu-mobilenetv3_small_100`` with ImageNet weights; 3,714,090-param UNet++
+total per ``MMR_EN:DE_CODER/README.md``). Feature pyramid channels
+(16, 16, 24, 48, 96) at strides (2, 4, 8, 16, 32), matching timm
+``features_only=True`` outputs so timm checkpoints can be imported.
+
+Block plan (timm arch_def for mobilenetv3_small_100):
+  stem: 3×3/2 → 16, hardswish
+  stage0: DS  k3 s2 c16 SE relu
+  stage1: IR  k3 s2 e4.5 c24 relu ; IR k3 s1 e3.67 c24 relu
+  stage2: IR  k5 s2 e4 c40 SE hs  ; 2× IR k5 s1 e6 c40 SE hs
+  stage3: 2× IR k5 s1 e3 c48 SE hs
+  stage4: IR  k5 s2 e6 c96 SE hs  ; 2× IR k5 s1 e6 c96 SE hs
+SE reduction is 1/4 of expansion channels (divisible by 8), hard-sigmoid gate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmr_tpu.models.layers import SqueezeExcite, hard_swish
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class InvertedResidual(nn.Module):
+    exp_ch: int
+    out_ch: int
+    kernel: int = 3
+    strides: int = 1
+    use_se: bool = False
+    act: str = "hardswish"  # 'relu' | 'hardswish'
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = nn.relu if self.act == "relu" else hard_swish
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        in_ch = x.shape[-1]
+        shortcut = x
+
+        y = x
+        if self.exp_ch != in_ch:
+            y = nn.Conv(self.exp_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv_pw")(y)
+            y = act(bn("bn1")(y))
+        k, p = self.kernel, self.kernel // 2
+        y = nn.Conv(self.exp_ch, (k, k), strides=(self.strides, self.strides),
+                    padding=[(p, p), (p, p)], feature_group_count=self.exp_ch,
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv_dw")(y)
+        y = act(bn("bn2")(y))
+        if self.use_se:
+            y = SqueezeExcite(_make_divisible(self.exp_ch / 4), dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_pwl")(y)
+        y = bn("bn3")(y)
+        if self.strides == 1 and in_ch == self.out_ch:
+            y = y + shortcut
+        return y
+
+
+class DepthwiseSeparable(nn.Module):
+    """timm 'ds' block: depthwise k3 → SE → pointwise (no expansion)."""
+
+    out_ch: int
+    kernel: int = 3
+    strides: int = 1
+    use_se: bool = True
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = nn.relu if self.act == "relu" else hard_swish
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        in_ch = x.shape[-1]
+        shortcut = x
+        k, p = self.kernel, self.kernel // 2
+        y = nn.Conv(in_ch, (k, k), strides=(self.strides, self.strides),
+                    padding=[(p, p), (p, p)], feature_group_count=in_ch,
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv_dw")(x)
+        y = act(bn("bn1")(y))
+        if self.use_se:
+            y = SqueezeExcite(_make_divisible(in_ch / 4), dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_pw")(y)
+        y = bn("bn2")(y)
+        if self.strides == 1 and in_ch == self.out_ch:
+            y = y + shortcut
+        return y
+
+
+class MobileNetV3SmallEncoder(nn.Module):
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv_stem")(x)
+        f1 = hard_swish(bn("bn1")(x))  # s2, 16
+
+        ir = lambda *a, **kw: InvertedResidual(*a, dtype=self.dtype, **kw)
+        f2 = DepthwiseSeparable(16, 3, 2, True, "relu", dtype=self.dtype, name="b0_0")(f1, train)  # s4, 16
+
+        x = ir(72, 24, 3, 2, False, "relu", name="b1_0")(f2, train)
+        f3 = ir(88, 24, 3, 1, False, "relu", name="b1_1")(x, train)  # s8, 24
+
+        x = ir(96, 40, 5, 2, True, "hardswish", name="b2_0")(f3, train)
+        x = ir(240, 40, 5, 1, True, "hardswish", name="b2_1")(x, train)
+        x = ir(240, 40, 5, 1, True, "hardswish", name="b2_2")(x, train)
+        x = ir(120, 48, 5, 1, True, "hardswish", name="b3_0")(x, train)
+        f4 = ir(144, 48, 5, 1, True, "hardswish", name="b3_1")(x, train)  # s16, 48
+
+        x = ir(288, 96, 5, 2, True, "hardswish", name="b4_0")(f4, train)
+        x = ir(576, 96, 5, 1, True, "hardswish", name="b4_1")(x, train)
+        f5 = ir(576, 96, 5, 1, True, "hardswish", name="b4_2")(x, train)  # s32, 96
+
+        return [f1, f2, f3, f4, f5]

@@ -1,0 +1,156 @@
+"""Shared flax.linen building blocks (NHWC, mixed-precision aware).
+
+Conventions:
+- All modules take/return NHWC; compute dtype is configurable (bf16 default
+  via the model wrappers), params always f32.
+- BatchNorm follows torch semantics (momentum 0.1 torch == 0.9 flax;
+  eps 1e-5) so imported torch running stats behave identically.
+- ``train`` flag switches BN batch-stats updates and dropout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def hard_sigmoid(x):
+    return nn.relu6(x + 3.0) / 6.0
+
+
+def hard_swish(x):
+    return x * hard_sigmoid(x)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": nn.relu,
+    "relu6": nn.relu6,
+    "hardswish": hard_swish,
+    "silu": nn.silu,
+    "gelu": nn.gelu,
+    "identity": lambda x: x,
+}
+
+
+class ConvBN(nn.Module):
+    """Conv2D + BatchNorm + activation — the reference's ubiquitous
+    Conv→BN→ReLU unit (e.g. ``unet_parts.py:93-103``), fused by XLA on TPU."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: str | int = 1
+    groups: int = 1
+    act: str = "relu"
+    use_bn: bool = True
+    bn_momentum: float = 0.1  # torch convention
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=pad,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias or not self.use_bn,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - self.bn_momentum,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+class SqueezeExcite(nn.Module):
+    """MobileNetV3-style SE block: global-avg-pool → reduce conv → relu →
+    expand conv → hard-sigmoid gate."""
+
+    reduced: int
+    gate: str = "hard_sigmoid"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv_reduce")(s)
+        s = nn.relu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv_expand")(s)
+        gate = hard_sigmoid(s) if self.gate == "hard_sigmoid" else nn.sigmoid(s)
+        return x * gate
+
+
+class ConvTransposeBN(nn.Module):
+    """ConvTranspose2D + BN + activation (SegNet decoder unit,
+    ``segnet.py:185-221``)."""
+
+    features: int
+    kernel: tuple[int, int] = (4, 4)
+    strides: tuple[int, int] = (2, 2)
+    padding: int = 1
+    act: str = "relu"
+    bn_momentum: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch ConvTranspose2d(k, s, p) output: (in-1)*s - 2p + k.
+        # flax ConvTranspose pads differently; replicate torch by using
+        # padding=((k-1-p, k-1-p), ...) on the dilated input.
+        # torch out = (H-1)*s - 2p + k; with lax.conv_transpose the dilated
+        # input ((H-1)*s + 1) is padded (lo, hi) then VALID-convolved, so
+        # lo = hi = k - 1 - p reproduces torch's shape arithmetic exactly.
+        k, p = self.kernel[0], self.padding
+        q = k - 1 - p
+        x = nn.ConvTranspose(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=[(q, q), (q, q)],
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.bn_momentum,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+class Dropout2d(nn.Module):
+    """Channel-wise (spatial) dropout, torch ``nn.Dropout2d`` semantics."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        mask_shape = (x.shape[0], 1, 1, x.shape[-1])
+        import jax
+
+        mask = jax.random.bernoulli(rng, keep, mask_shape).astype(x.dtype)
+        return x * mask / keep

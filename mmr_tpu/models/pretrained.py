@@ -1,0 +1,233 @@
+"""Pretrained-encoder weight story: torch checkpoint → flax pytree importer.
+
+The reference gets ImageNet encoders from torchvision/timm at runtime
+(``resnet_unet.py:156-158``, smp ``encoder_weights='imagenet'``,
+``common_utils.py:236``). This environment has no network egress and no
+torchvision/timm, so the TPU build uses an *offline* weight store
+(SURVEY.md §7.3(2)):
+
+1. ``import_torch_state_dict`` converts a torch ``state_dict`` (torchvision
+   resnet18/34 or timm mobilenetv3_small_100 naming) into our flax
+   params/batch_stats trees — NCHW→HWIO kernel transposition, BN
+   weight/bias/running stats mapping.
+2. ``save_weight_store`` / ``load_encoder_weights`` persist/restore converted
+   trees as ``.npz`` under ``$MMR_TPU_WEIGHTS_DIR`` (default
+   ``~/.cache/mmr_tpu/weights``), keyed by encoder name.
+
+So "imagenet" weights work by running the converter once wherever the torch
+checkpoints exist, then shipping the ``.npz``.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    try:  # torch tensor
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _conv(w) -> np.ndarray:
+    """torch conv (O, I, H, W) → flax (H, W, I, O)."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def _dwconv(w) -> np.ndarray:
+    """torch depthwise conv (O, 1, H, W), groups=O → flax (H, W, 1, O)."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def _bn(sd: Mapping[str, Any], prefix: str) -> tuple[dict, dict]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _np(sd[f"{prefix}.running_mean"]), "var": _np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def _resnet_tree(sd: Mapping[str, Any], stage_sizes) -> tuple[dict, dict]:
+    params: dict = {"conv1": {"kernel": _conv(sd["conv1.weight"])}}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    for i, n_blocks in enumerate(stage_sizes):
+        for b in range(n_blocks):
+            t = f"layer{i + 1}.{b}"
+            name = f"layer{i + 1}_{b}"
+            p: dict = {
+                "conv1": {"kernel": _conv(sd[f"{t}.conv1.weight"])},
+                "conv2": {"kernel": _conv(sd[f"{t}.conv2.weight"])},
+            }
+            s: dict = {}
+            p["bn1"], s["bn1"] = _bn(sd, f"{t}.bn1")
+            p["bn2"], s["bn2"] = _bn(sd, f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in sd:
+                p["downsample_conv"] = {"kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+                p["downsample_bn"], s["downsample_bn"] = _bn(sd, f"{t}.downsample.1")
+            params[name] = p
+            stats[name] = s
+    return params, stats
+
+
+def _mbv3_block(sd: Mapping[str, Any], t: str, kind: str) -> tuple[dict, dict]:
+    """kind: 'ds' (DepthwiseSeparable) or 'ir' (InvertedResidual)."""
+    p: dict = {}
+    s: dict = {}
+    if kind == "ds":
+        p["conv_dw"] = {"kernel": _dwconv(sd[f"{t}.conv_dw.weight"])}
+        p["bn1"], s["bn1"] = _bn(sd, f"{t}.bn1")
+        p["conv_pw"] = {"kernel": _conv(sd[f"{t}.conv_pw.weight"])}
+        p["bn2"], s["bn2"] = _bn(sd, f"{t}.bn2")
+    else:
+        has_pw = f"{t}.conv_pw.weight" in sd
+        if has_pw:
+            p["conv_pw"] = {"kernel": _conv(sd[f"{t}.conv_pw.weight"])}
+            p["bn1"], s["bn1"] = _bn(sd, f"{t}.bn1")
+        p["conv_dw"] = {"kernel": _dwconv(sd[f"{t}.conv_dw.weight"])}
+        p["bn2"], s["bn2"] = _bn(sd, f"{t}.bn2")
+        p["conv_pwl"] = {"kernel": _conv(sd[f"{t}.conv_pwl.weight"])}
+        p["bn3"], s["bn3"] = _bn(sd, f"{t}.bn3")
+    if f"{t}.se.conv_reduce.weight" in sd:
+        p["se"] = {
+            "conv_reduce": {"kernel": _conv(sd[f"{t}.se.conv_reduce.weight"]),
+                            "bias": _np(sd[f"{t}.se.conv_reduce.bias"])},
+            "conv_expand": {"kernel": _conv(sd[f"{t}.se.conv_expand.weight"]),
+                            "bias": _np(sd[f"{t}.se.conv_expand.bias"])},
+        }
+    return p, s
+
+
+_MBV3_LAYOUT = [  # (timm blocks index, per-stage block kinds, our name prefix)
+    (0, ["ds"], "b0"),
+    (1, ["ir", "ir"], "b1"),
+    (2, ["ir", "ir", "ir"], "b2"),
+    (3, ["ir", "ir"], "b3"),
+    (4, ["ir", "ir", "ir"], "b4"),
+]
+
+
+def _mobilenetv3_tree(sd: Mapping[str, Any]) -> tuple[dict, dict]:
+    params: dict = {"conv_stem": {"kernel": _conv(sd["conv_stem.weight"])}}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    for idx, kinds, prefix in _MBV3_LAYOUT:
+        for b, kind in enumerate(kinds):
+            p, s = _mbv3_block(sd, f"blocks.{idx}.{b}", kind)
+            params[f"{prefix}_{b}"] = p
+            stats[f"{prefix}_{b}"] = s
+    return params, stats
+
+
+def import_torch_state_dict(sd: Mapping[str, Any], encoder_name: str) -> tuple[dict, dict]:
+    """→ (params, batch_stats) trees matching our encoder module names."""
+    name = encoder_name.replace("tu-", "")
+    if name in ("resnet18",):
+        return _resnet_tree(sd, (2, 2, 2, 2))
+    if name in ("resnet34",):
+        return _resnet_tree(sd, (3, 4, 6, 3))
+    if name.startswith("mobilenetv3_small"):
+        return _mobilenetv3_tree(sd)
+    raise ValueError(f"no torch import mapping for encoder {encoder_name!r}")
+
+
+# ---------------------------------------------------------------- weight store
+
+def weights_dir() -> Path:
+    return Path(os.environ.get("MMR_TPU_WEIGHTS_DIR",
+                               Path.home() / ".cache" / "mmr_tpu" / "weights"))
+
+
+def _flatten(tree: dict, prefix="") -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_weight_store(encoder_name: str, params: dict, batch_stats: dict,
+                      tag: str = "imagenet") -> Path:
+    d = weights_dir()
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{encoder_name}.{tag}.npz"
+    flat = {f"params/{k}": v for k, v in _flatten(params).items()}
+    flat.update({f"batch_stats/{k}": v for k, v in _flatten(batch_stats).items()})
+    np.savez(path, **flat)
+    return path
+
+
+def load_weight_store(encoder_name: str, tag: str = "imagenet") -> tuple[dict, dict]:
+    path = weights_dir() / f"{encoder_name}.{tag}.npz"
+    if not path.exists():
+        raise FileNotFoundError(str(path))
+    flat = dict(np.load(path))
+    params = _unflatten({k[len("params/"):]: v for k, v in flat.items() if k.startswith("params/")})
+    stats = _unflatten({k[len("batch_stats/"):]: v for k, v in flat.items() if k.startswith("batch_stats/")})
+    return params, stats
+
+
+def _graft(dst: dict, src: dict, path=""):
+    """Copy src leaves into dst (must exist with same shapes)."""
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"imported weight {path}/{k} has no destination in model")
+        if isinstance(v, dict):
+            _graft(dst[k], v, f"{path}/{k}")
+        else:
+            if tuple(dst[k].shape) != tuple(np.shape(v)):
+                raise ValueError(
+                    f"shape mismatch at {path}/{k}: model {tuple(dst[k].shape)} "
+                    f"vs import {tuple(np.shape(v))}")
+            dst[k] = np.asarray(v, dtype=np.float32)
+
+
+def load_encoder_weights(variables: dict, encoder_name: str | None, source: str) -> dict:
+    """Return a copy of freshly-initialized ``variables`` with the encoder
+    subtree replaced by stored pretrained weights.
+
+    ``source``: a tag in the weight store (e.g. ``'imagenet'``) or a path to a
+    torch ``.pth``/``.pt`` checkpoint of the bare encoder.
+    """
+    if encoder_name is None:
+        raise FileNotFoundError("model has no generic encoder to load into")
+    if source.endswith((".pth", ".pt", ".bin")):
+        import torch
+
+        sd = torch.load(source, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        params, stats = import_torch_state_dict(sd, encoder_name)
+    else:
+        params, stats = load_weight_store(encoder_name, source)
+
+    import jax
+
+    new_vars = jax.tree_util.tree_map(np.asarray, variables)
+    # encoder lives under its module name in the variable tree
+    enc_key = next(
+        (k for k in new_vars["params"] if "Encoder" in k or k == "encoder"), None
+    )
+    if enc_key is None:
+        raise KeyError(f"no encoder submodule found in variables: {list(new_vars['params'])}")
+    _graft(new_vars["params"][enc_key], params, "params")
+    if "batch_stats" in new_vars and stats:
+        _graft(new_vars["batch_stats"][enc_key], stats, "batch_stats")
+    return new_vars

@@ -1,0 +1,129 @@
+"""Checkpoint / resume — both reference schemes (SURVEY.md §5.4).
+
+Path B (``Main_MMR_SegModel.py:892-1001``):
+  ``checkpoints/last_model`` written every epoch, ``checkpoints/best_model``
+  replaced when validation loss improves (the previous best's stored
+  ``validation_loss`` is consulted, ``:945-952``). Contents: model params +
+  batch stats + optimizer state + epoch + validation_loss (+ the scheduler's
+  epoch, which for us is just the epoch).
+
+Path A (``ModelTraining.py:477-489,825-845``):
+  single file ``{model}_{dataset}_bs{..}_lr{..}_e{..}_checkpoint`` holding
+  ``{'epoch','state_dict','optimizer'}``, written only when mean-F1 improves.
+
+Native storage is **orbax** (async-capable, sharded-array aware — the
+TPU-native choice); a ``.pth`` exporter (torch container with flattened
+tensors) is provided so reference-style tooling can open our checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mmr_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """last/best checkpoint policy over an orbax checkpointer."""
+
+    def __init__(self, directory: str | Path):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------ save
+    def _write(self, name: str, state: TrainState, meta: dict) -> None:
+        path = (self.dir / name).resolve()
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path, jax.device_get(state))
+        self._ckptr.wait_until_finished()
+        (self.dir / f"{name}.json").write_text(json.dumps(meta))
+
+    def save(self, state: TrainState, epoch: int, validation_loss: float) -> bool:
+        """Save ``last_model`` always; promote to ``best_model`` when val loss
+        improves (reference best-selection logic, ``:945-952``). Returns True
+        when a new best was written."""
+        meta = {"epoch": int(epoch), "validation_loss": float(validation_loss)}
+        self._write("last_model", state, meta)
+        best_meta_path = self.dir / "best_model.json"
+        prev = json.loads(best_meta_path.read_text()) if best_meta_path.exists() else None
+        if prev is None or validation_loss < prev["validation_loss"]:
+            self._write("best_model", state, meta)
+            return True
+        return False
+
+    def save_best_by_f1(self, state: TrainState, epoch: int, mean_f1: float) -> bool:
+        """Path-A policy: checkpoint only when mean F1 improves
+        (``ModelTraining.py:477-489``)."""
+        meta_path = self.dir / "best_f1.json"
+        prev = json.loads(meta_path.read_text()) if meta_path.exists() else None
+        if prev is None or mean_f1 > prev["mean_f1"]:
+            path = (self.dir / "best_f1").resolve()
+            if path.exists():
+                shutil.rmtree(path)
+            self._ckptr.save(path, jax.device_get(state))
+            self._ckptr.wait_until_finished()
+            meta_path.write_text(json.dumps({"epoch": int(epoch), "mean_f1": float(mean_f1)}))
+            return True
+        return False
+
+    # ------------------------------------------------------------------ load
+    def load(self, template: TrainState, which: str = "last_model") -> tuple[TrainState, dict]:
+        path = (self.dir / which).resolve()
+        meta = json.loads((self.dir / f"{which}.json").read_text())
+        state = self._ckptr.restore(path, jax.device_get(template))
+        return state, meta
+
+    def exists(self, which: str = "last_model") -> bool:
+        return (self.dir / which).exists()
+
+
+# ------------------------------------------------------------- torch export
+
+def export_torch_checkpoint(path: str | Path, state: TrainState, epoch: int,
+                            validation_loss: float | None = None) -> None:
+    """Write a ``.pth`` readable by ``torch.load`` with the reference's key
+    layout (``Main_MMR_SegModel.py:919-943``): ``epoch``,
+    ``network_state_dict`` (flattened ``a.b.c`` → tensor), ``validation_loss``.
+    Conv kernels are transposed to torch (O, I, H, W) layout."""
+    import torch
+
+    flat = {}
+
+    def walk(tree, prefix):
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk(v, name)
+            else:
+                arr = np.asarray(jax.device_get(v))
+                if name.endswith(".kernel") and arr.ndim == 4:
+                    arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+                flat[name] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    walk(jax.device_get(state.params), "")
+    ckpt = {"epoch": int(epoch), "network_state_dict": flat}
+    if state.batch_stats:
+        stats = {}
+
+        def walk_s(tree, prefix):
+            for k, v in tree.items():
+                name = f"{prefix}.{k}" if prefix else str(k)
+                if isinstance(v, dict):
+                    walk_s(v, name)
+                else:
+                    stats[name] = torch.from_numpy(np.ascontiguousarray(np.asarray(jax.device_get(v))))
+
+        walk_s(jax.device_get(state.batch_stats), "")
+        ckpt["batch_stats"] = stats
+    if validation_loss is not None:
+        ckpt["validation_loss"] = float(validation_loss)
+    torch.save(ckpt, str(path))

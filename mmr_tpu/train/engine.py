@@ -1,0 +1,233 @@
+"""Training engine — the ``SegModel`` orchestrator rebuilt
+(``Main_MMR_SegModel.py:520-1203``), one engine serving both reference paths.
+
+Epoch loop parity (``train()``, ``:1076-1203``): train epoch → validate →
+monitor (throughput/ETA/memory) → loss plot + metrics JSON + dashboard →
+last/best checkpointing → ``loss_dict.pkl`` → per-``val_plot_interval``
+prediction triptychs. LR schedules step per epoch. ``continue_training``
+restores params/opt-state/epoch and the loss history so curves stay
+continuous (``:596-604,958-1001``).
+
+TPU design: one jitted sharded step per optimizer update (grad accumulation
+inside), async dispatch (metrics fetched once per epoch), background host
+prefetch, on-device augmentation.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmr_tpu.core.mesh import create_mesh, shard_batch
+from mmr_tpu.core.prng import RngStream, seed_everything
+from mmr_tpu.data.augment import AugmentConfig
+from mmr_tpu.data.pipeline import PrefetchIterator, microbatch_stacker
+from mmr_tpu.losses import dice_ce_loss
+from mmr_tpu.metrics.iou import iou_score
+from mmr_tpu.models import create_model
+from mmr_tpu.models.factory import get_preprocessing
+from mmr_tpu.monitor import TrainingMonitor, save_losses, save_dashboard, save_triptychs
+from mmr_tpu.train.checkpoint import CheckpointManager
+from mmr_tpu.train.optim import build_optimizer
+from mmr_tpu.train.schedules import build_lr_schedule
+from mmr_tpu.train.state import TrainState
+from mmr_tpu.train.steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, config: dict, mesh=None, loss_fn=None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.results_path = Path(config["results_path"])
+        self.results_path.mkdir(parents=True, exist_ok=True)
+        self.n_classes = int(config["n_classes"]) + 1  # + background (common_utils.py:236)
+        self.n_epochs = int(config["n_epochs"])
+        self.patch_size = tuple(config["patch_size"])
+        self.n_accum = int(config.get("grad_accumulate_step", 1))
+
+        model_cfg = dict(config["model"])
+        arch = model_cfg.pop("arch")
+        self.encoder_name = model_cfg.pop("encoder_name", None)
+        encoder_weights = model_cfg.pop("encoder_weights", None)
+        model_cfg.pop("in_channels", None)
+        model_cfg.pop("classes", None)
+        from mmr_tpu.core.precision import resolve as resolve_precision
+
+        precision = resolve_precision(config.get("precision"))
+        self.model, self._weights_hook = create_model(
+            arch, encoder_name=self.encoder_name, encoder_weights=encoder_weights,
+            classes=self.n_classes, dtype=precision.compute_dtype, **model_cfg)
+        self.preprocess = get_preprocessing(self.encoder_name) if self.encoder_name else None
+
+        self.loss_fn = loss_fn or dice_ce_loss
+        opt_cfg = dict(config.get("optimizer", {"name": "AdamW", "lr": 1e-4}))
+        opt_name = opt_cfg.pop("name", "AdamW")
+        self.base_lr = float(opt_cfg.pop("lr", 1e-4))
+        self.optimizer = build_optimizer(
+            opt_name,
+            clip_grad_norm=float(config.get("grad_clip_max_norm", 12.0)),
+            differential_lr=bool(config.get("differential_lr", False)),
+            **opt_cfg)
+        self.lr_schedule = build_lr_schedule(
+            config.get("lr_scheduler"), self.base_lr, self.n_epochs)
+
+        aug_cfg = config.get("transformations", {})
+        self.augment = AugmentConfig(
+            patch_size=self.patch_size,
+            rotation=aug_cfg.get("rotation", True),
+            scaling=aug_cfg.get("scaling", True),
+            gaussian_noise=aug_cfg.get("gaussian_noise", True),
+            gaussian_blur=aug_cfg.get("gaussian_blur", True),
+            brightness=aug_cfg.get("brightness", True),
+            contrast=aug_cfg.get("contrast", True),
+            low_resolution=aug_cfg.get("low_resolution", True),
+            gamma=aug_cfg.get("gamma", True),
+            mirror=aug_cfg.get("mirror", True),
+            heavy=aug_cfg.get("heavy_augmentation", False),
+        )
+
+        self.rng = RngStream(seed_everything(int(config.get("seed", 6210))))
+        self.monitor = TrainingMonitor(self.results_path, self.n_epochs)
+        self.checkpoints = CheckpointManager(self.results_path / "checkpoints")
+        self.loss_dict: dict[str, list] = {"train": [], "val": []}
+        self.start_epoch = 1
+        self.state: Optional[TrainState] = None
+
+        self._train_step = make_train_step(
+            self.model, self.optimizer, self.loss_fn, self.n_classes,
+            mesh=self.mesh, n_accum=self.n_accum, augment=self.augment,
+            preprocess=self.preprocess)
+        self._eval_step = make_eval_step(
+            self.model, self.loss_fn, self.n_classes, mesh=self.mesh,
+            preprocess=self.preprocess)
+
+    # ----------------------------------------------------------------- setup
+    def init_state(self) -> TrainState:
+        # param shapes are independent of spatial size: init at a small
+        # resolution (≥64 for the SegNet bottleneck) to keep init cheap
+        init_hw = (min(self.patch_size[0], 64), min(self.patch_size[1], 64))
+        x = jnp.zeros((1, *init_hw, 3), jnp.float32)
+        # Initialize on the host CPU backend: on the remote-TPU (axon) path,
+        # init's thousands of tiny ops would each pay tunnel RPC latency
+        # (~4 min for the default model); one bulk device_put is cheap.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            variables = self.model.init(
+                {"params": self.rng.named("init"), "dropout": self.rng.named("drop")},
+                x, train=False)
+            variables = self._weights_hook(variables)
+        self.state = TrainState.create(
+            jax.tree_util.tree_map(jnp.asarray, variables), self.optimizer)
+        return self.state
+
+    def maybe_resume(self) -> bool:
+        """continue_training: restore last checkpoint + loss history."""
+        if not self.checkpoints.exists("last_model"):
+            return False
+        if self.state is None:
+            self.init_state()
+        self.state, meta = self.checkpoints.load(self.state, "last_model")
+        self.start_epoch = meta["epoch"] + 1
+        pkl = self.results_path / "loss_dict.pkl"
+        if pkl.exists():
+            self.loss_dict = pickle.loads(pkl.read_bytes())
+        self.monitor.log_message(f"Resumed from epoch {meta['epoch']}")
+        return True
+
+    # ----------------------------------------------------------------- train
+    def _device_batches(self, sampler, epoch: int, train: bool):
+        def transfer(item):
+            imgs, masks = item
+            # train batches are stacked (n_accum, B, ...) → shard axis 1
+            return shard_batch(self.mesh, (imgs.astype(np.float32),
+                                           masks.astype(np.int32)),
+                               axis=1 if train else 0)
+
+        if train:
+            source = microbatch_stacker(
+                sampler.epoch(epoch_seed=epoch * 7919 + 1), self.n_accum)
+        else:
+            source = sampler.epoch(epoch_seed=epoch * 104729 + 2)
+        return PrefetchIterator(source, transfer, depth=2)
+
+    def train_one_epoch(self, sampler, epoch: int, lr: float):
+        losses, ious = [], []
+        n_samples = 0
+        for images, masks in self._device_batches(sampler, epoch, train=True):
+            self.state, met = self._train_step(
+                self.state, images, masks, jnp.float32(lr),
+                self.rng.step("train", epoch, len(losses)))
+            losses.append(met["loss"])
+            ious.append(met["iou"])
+            n_samples += int(np.prod(images.shape[:2]))
+        return (float(np.mean([float(l) for l in losses])),
+                float(np.mean([float(i) for i in ious])), n_samples)
+
+    def validate_one_epoch(self, sampler, epoch: int, want_samples: bool = False):
+        losses, ious = [], []
+        tp = fp = fn = 0.0
+        sample = None
+        for images, masks in self._device_batches(sampler, epoch, train=False):
+            met = self._eval_step(self.state, images, masks)
+            losses.append(met["loss"])
+            ious.append(met["iou"])
+            tp = tp + np.asarray(met["tp"])
+            fp = fp + np.asarray(met["fp"])
+            fn = fn + np.asarray(met["fn"])
+            if want_samples and sample is None:
+                logits = self.predict(images)
+                sample = (np.asarray(images), np.asarray(masks),
+                          np.asarray(jnp.argmax(logits, -1)))
+        per_class_iou = tp / np.maximum(tp + fp + fn, 1e-15)
+        return (float(np.mean([float(l) for l in losses])),
+                float(np.mean([float(i) for i in ious])), per_class_iou, sample)
+
+    def predict(self, images):
+        imgs = self.preprocess(images) if self.preprocess else images
+        return self.model.apply(self.state.variables, imgs, train=False)
+
+    def train(self, train_sampler, val_sampler) -> dict:
+        if self.state is None:
+            self.init_state()
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.state.params))
+        self.monitor.log_message(
+            f"Model: {self.config['model']} — {n_params / 1e6:.2f}M params")
+        self.monitor.start_training()
+        val_plot_interval = int(self.config.get("val_plot_interval", 5))
+        plots_dir = self.results_path / "plots"
+
+        for epoch in range(self.start_epoch, self.n_epochs + 1):
+            self.monitor.start_epoch(epoch)
+            lr = self.lr_schedule(epoch - 1)
+            train_loss, train_iou, n_samples = self.train_one_epoch(
+                train_sampler, epoch, lr)
+            want_plot = val_plot_interval > 0 and epoch % val_plot_interval == 0
+            val_loss, val_iou, per_class_iou, sample = self.validate_one_epoch(
+                val_sampler, epoch, want_samples=want_plot)
+
+            self.loss_dict["train"].append(train_loss)
+            self.loss_dict["val"].append(val_loss)
+            self.monitor.end_epoch(epoch, train_loss, val_loss, train_iou,
+                                   val_iou, lr, n_samples)
+            save_losses(self.loss_dict["train"], self.loss_dict["val"], plots_dir)
+            self.monitor.save_metrics()
+            save_dashboard(self.monitor.history, self.results_path)
+            if sample is not None:
+                imgs = sample[0].reshape(-1, *sample[0].shape[-3:]) \
+                    if sample[0].ndim == 5 else sample[0]
+                save_triptychs(imgs, sample[1].reshape(-1, *sample[1].shape[-2:]),
+                               sample[2].reshape(-1, *sample[2].shape[-2:]),
+                               plots_dir / f"epoch_{epoch}.png")
+            is_best = self.checkpoints.save(self.state, epoch, val_loss)
+            (self.results_path / "loss_dict.pkl").write_bytes(
+                pickle.dumps(self.loss_dict))
+            if is_best:
+                self.monitor.log_message(f"New best model (val loss {val_loss:.4f})")
+        self.monitor.log_message("Training complete")
+        return self.monitor.history

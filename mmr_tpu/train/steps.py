@@ -1,0 +1,163 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+TPU-native equivalents of the reference's per-batch loops
+(``ModelTraining.py:566-664``, ``Main_MMR_SegModel.py:641-765``):
+
+- one XLA program per optimizer step: forward (bf16) → loss → backward →
+  grad-accumulation → global-norm clip (12, ``Main_MMR_SegModel.py:724``) →
+  optimizer update — no host round-trips inside the step;
+- gradient accumulation as a ``lax.scan`` over microbatches inside the same
+  jit (the reference steps the optimizer every ``grad_accumulate_step``
+  batches, ``:718-727``; here one device step consumes
+  ``micro_batch × n_accum`` samples and is mathematically equivalent:
+  averaged grads, one clip, one update);
+- data parallelism by sharding the batch axis of inputs over the ``data``
+  mesh axis; params/optimizer state are replicated. XLA inserts the gradient
+  all-reduce (SURVEY.md §2.4's TPU decision);
+- per-batch metrics (loss, macro-IoU as at ``Main_MMR_SegModel.py:712``)
+  computed on device, returned as scalars.
+
+The LR is a dynamic argument (see ``optim.py``) so per-epoch schedules never
+recompile. Augmentation happens inside the step (same program) when an
+``AugmentConfig`` is given — HBM-resident end to end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmr_tpu.core.mesh import DATA_AXIS
+from mmr_tpu.data.augment import AugmentConfig, augment_train_batch
+from mmr_tpu.metrics.confusion import segmentation_stats
+from mmr_tpu.metrics.iou import iou_score
+from mmr_tpu.train.state import TrainState
+
+
+def _batch_iou(logits, masks, num_classes):
+    preds = jnp.argmax(logits, axis=-1)
+    tp, fp, fn, tn = segmentation_stats(preds, masks, num_classes)
+    return iou_score(tp, fp, fn, tn, reduction="macro")
+
+
+def make_train_step(
+    model,
+    optimizer,
+    loss_fn: Callable,
+    num_classes: int,
+    mesh: Mesh | None = None,
+    n_accum: int = 1,
+    augment: AugmentConfig | Callable | None = None,
+    preprocess: Callable | None = None,
+    compute_iou: bool = True,
+):
+    """Returns ``step(state, images, masks, lr, rng) -> (state, metrics)``.
+
+    images: (n_accum, B, H, W, C) f32 in [0,1]; masks: (n_accum, B, H, W) int
+    — one stacked microbatch per accumulation step (the reference's
+    ``grad_accumulate_step`` DataLoader batches), with the **B** axis sharded
+    over the data mesh so every microbatch spans all devices.
+    """
+
+    def loss_and_updates(params, batch_stats, images, masks, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if batch_stats else []
+        out = model.apply(variables, images, train=True,
+                          rngs={"dropout": rng}, mutable=mutable)
+        logits, new_stats = (out if mutable else (out, {}))
+        if mutable:
+            new_stats = new_stats["batch_stats"]
+        loss = loss_fn(logits, masks)
+        return loss, (new_stats, logits)
+
+    grad_fn = jax.value_and_grad(loss_and_updates, has_aux=True)
+
+    def step(state: TrainState, images, masks, lr, rng):
+        rngs = jax.random.split(rng, 2 * n_accum).reshape(n_accum, 2)
+
+        def accum_body(carry, xs):
+            stats, grad_sum, loss_sum, iou_sum = carry
+            img, msk, r = xs
+            if preprocess is not None:
+                img = preprocess(img)
+            if augment is not None:
+                if isinstance(augment, AugmentConfig):
+                    img, msk = augment_train_batch(r[0], img, msk, augment)
+                else:  # custom callable, e.g. the Path-A pipeline
+                    img, msk = augment(r[0], img, msk)
+            (loss, (new_stats, logits)), grads = grad_fn(
+                state.params, stats, img, msk, r[1])
+            iou = _batch_iou(logits, msk, num_classes) if compute_iou else jnp.float32(0)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            return (new_stats, grad_sum, loss_sum + loss, iou_sum + iou), None
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params)
+        (new_stats, grad_sum, loss_sum, iou_sum), _ = jax.lax.scan(
+            accum_body, (state.batch_stats, zero_grads, jnp.float32(0), jnp.float32(0)),
+            (images, masks, rngs))
+
+        grads = jax.tree_util.tree_map(lambda g: g / n_accum, grad_sum)
+        new_params, new_opt_state = optimizer.apply_updates(
+            state.params, state.opt_state, grads, lr)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, step=state.step + 1)
+        metrics = {"loss": loss_sum / n_accum, "iou": iou_sum / n_accum}
+        return new_state, metrics
+
+    if mesh is None or mesh.devices.size == 1:
+        # Single-device: sharding annotations buy nothing — plain jit.
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    shard_micro = NamedSharding(mesh, P(None, DATA_AXIS))  # (n_accum, B, ...)
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(repl, shard_micro, shard_micro, repl, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(
+    model,
+    loss_fn: Callable,
+    num_classes: int,
+    mesh: Mesh | None = None,
+    preprocess: Callable | None = None,
+    return_logits: bool = False,
+):
+    """Returns ``eval_step(state, images, masks) -> metrics`` (loss, macro IoU,
+    per-class tp/fp/fn for streaming aggregation)."""
+
+    def step(state: TrainState, images, masks):
+        if preprocess is not None:
+            images = preprocess(images)
+        logits = model.apply(state.variables, images, train=False)
+        loss = loss_fn(logits, masks)
+        preds = jnp.argmax(logits, axis=-1)
+        tp, fp, fn, tn = segmentation_stats(preds, masks, num_classes)
+        metrics = {
+            "loss": loss,
+            "iou": iou_score(tp, fp, fn, tn, reduction="macro"),
+            "tp": tp.sum(0), "fp": fp.sum(0), "fn": fn.sum(0),
+        }
+        if return_logits:
+            metrics["logits"] = logits
+        return metrics
+
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(step)
+
+    repl = NamedSharding(mesh, P())
+    shard_b = NamedSharding(mesh, P(DATA_AXIS))
+    out_sh = repl if not return_logits else None
+    return jax.jit(step, in_shardings=(repl, shard_b, shard_b),
+                   out_shardings=out_sh)

@@ -1,0 +1,102 @@
+"""Config system tests — schema + override grammar + mode behavior parity."""
+
+import pytest
+import yaml
+
+from mmr_tpu.config import (
+    get_default_config,
+    get_config,
+    check_and_convert_user_config_args,
+    add_user_config_args,
+    safe_eval,
+)
+
+
+def test_default_schema_matches_reference():
+    cfg = get_default_config(9, [512, 640])
+    # exact values from common_utils.py:147-244
+    assert cfg["n_epochs"] == 200
+    assert cfg["batch_size"] == 8
+    assert cfg["sw_batch_size"] == 24
+    assert cfg["sw_overlap"] == 0.5
+    assert cfg["oversample_ratio"] == 0.33
+    assert cfg["grad_clip_max_norm"] == 12
+    assert cfg["lr_scheduler"] == {"name": "PolynomialLR", "total_iters": 200, "power": 0.9}
+    assert cfg["optimizer"] == {"name": "AdamW", "lr": 1e-4}
+    assert cfg["model"]["arch"] == "UnetPlusPlus"
+    assert cfg["model"]["encoder_name"] == "tu-mobilenetv3_small_100"
+    assert cfg["model"]["classes"] == 10
+    assert cfg["transformations"]["low_resolution"] is False
+    assert cfg["transformations"]["heavy_augmentation"] is False
+    assert cfg["steps_per_epoch"] == 250 and cfg["val_steps_per_epoch"] == 50
+
+
+def test_safe_eval():
+    assert safe_eval("16") == 16
+    assert safe_eval("1e-3") == pytest.approx(1e-3)
+    assert safe_eval("true") is True
+    assert safe_eval("False") is False
+    assert safe_eval("none") is None
+    assert safe_eval("[512, 640]") == [512, 640]
+    assert safe_eval("resnet18") == "resnet18"
+
+
+def test_override_grammar_nesting():
+    args = ["--batch_size", "16", "--optimizer_lr", "0.001",
+            "--model_arch", "Unet", "--transformations_rotation", "false",
+            "--lr_scheduler_total_iters", "50"]
+    out = check_and_convert_user_config_args(args, "training")
+    assert out == {
+        "batch_size": 16,
+        "optimizer": {"lr": 0.001},
+        "model": {"arch": "Unet"},
+        "transformations": {"rotation": False},
+        "lr_scheduler": {"total_iters": 50},
+    }
+
+
+def test_override_grammar_validation():
+    with pytest.raises(KeyError, match="not an allowed argument"):
+        check_and_convert_user_config_args(["--nonsense", "1"], "training")
+    with pytest.raises(KeyError, match="not an allowed argument"):
+        check_and_convert_user_config_args(["--batch_size", "4"], "testing")
+    # testing allows only inference args
+    out = check_and_convert_user_config_args(["--sw_overlap", "0.75"], "testing")
+    assert out == {"sw_overlap": 0.75}
+    assert check_and_convert_user_config_args(None, "training") is None
+
+
+def test_n_epochs_syncs_scheduler_total_iters():
+    cfg = get_default_config(3, [64, 64])
+    cfg = add_user_config_args(cfg, {"n_epochs": 55})
+    assert cfg["lr_scheduler"]["total_iters"] == 55
+
+
+def test_modes(tmp_path):
+    ds = tmp_path / "ds"
+    res = tmp_path / "res"
+    cfg = get_config(str(ds), str(res), "training",
+                     config_args={"batch_size": 2, "n_epochs": 3},
+                     n_classes=3, patch_size=[64, 64])
+    assert (res / "config.yaml").exists()
+    assert cfg["batch_size"] == 2 and cfg["load_model_path"] is None
+    saved = yaml.safe_load((res / "config.yaml").read_text())
+    assert saved["batch_size"] == 2
+
+    # continue_training: unchanged args OK, changed args rejected
+    cfg2 = get_config(str(ds), str(res), "continue_training")
+    assert cfg2["load_model_path"].endswith("last_model")
+    with pytest.raises(AssertionError):
+        get_config(str(ds), str(res), "continue_training",
+                   config_args={"batch_size": 7})
+
+    # testing: inference overrides allowed, selects best_model
+    cfg3 = get_config(str(ds), str(res), "testing",
+                      config_args={"sw_overlap": 0.75})
+    assert cfg3["sw_overlap"] == 0.75
+    assert cfg3["load_model_path"].endswith("best_model")
+
+    with pytest.raises(FileNotFoundError):
+        get_config(str(ds), str(tmp_path / "nope"), "testing")
+    with pytest.raises(ValueError):
+        get_config(str(ds), str(res), "bogus_mode")

@@ -1,0 +1,63 @@
+"""Sliding-window inference tests: blend correctness, grid math, MONAI-style
+importance map."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmr_tpu.infer.sliding_window import (
+    sliding_window_inference,
+    gaussian_importance_map,
+    _window_starts,
+)
+
+
+def test_window_starts_grid():
+    # MONAI dense grid: interval = roi*(1-overlap), last window flush
+    assert _window_starts(128, 64, 0.5) == [0, 32, 64]
+    assert _window_starts(100, 64, 0.5) == [0, 32, 36]
+    assert _window_starts(64, 64, 0.5) == [0]
+    assert _window_starts(50, 64, 0.5) == [0]  # roi larger than image
+
+
+def test_gaussian_importance_map():
+    m = gaussian_importance_map((32, 48))
+    assert m.shape == (32, 48)
+    assert m.max() == m[15:17, 23:25].max()  # peak at center
+    assert (m > 0).all()
+
+
+def test_blending_reconstructs_identity(rng):
+    """A predictor that returns its input must be reconstructed exactly —
+    proof that overlap weights normalize to 1 everywhere."""
+    x = rng.rand(2, 40, 56, 3).astype(np.float32)
+
+    def identity_predictor(windows):
+        return windows
+
+    for mode in ("gaussian", "constant"):
+        out = sliding_window_inference(
+            jnp.asarray(x), identity_predictor, roi=(16, 16), num_classes=3,
+            sw_batch_size=4, overlap=0.5, mode=mode)
+        np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
+
+
+def test_roi_larger_than_image_single_window(rng):
+    x = rng.rand(1, 24, 24, 3).astype(np.float32)
+    calls = []
+
+    def pred(w):
+        calls.append(w.shape)
+        return w * 2.0
+
+    out = sliding_window_inference(jnp.asarray(x), pred, roi=(64, 64),
+                                   num_classes=3, sw_batch_size=2)
+    np.testing.assert_allclose(np.asarray(out), x * 2.0, atol=1e-5)
+    assert calls[0][1:] == (24, 24, 3)  # roi clamped to image
+
+
+def test_overlap_075(rng):
+    x = rng.rand(1, 64, 64, 2).astype(np.float32)
+    out = sliding_window_inference(
+        jnp.asarray(x), lambda w: w, roi=(32, 32), num_classes=2,
+        sw_batch_size=8, overlap=0.75)
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
