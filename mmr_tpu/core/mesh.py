@@ -95,11 +95,17 @@ def shard_batch(mesh: Mesh, batch, axis: int = 0):
     """
 
     single = mesh.devices.size == 1
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get(DATA_AXIS, 1)
 
     def _put(x):
         x = np.asarray(x)
         if single:  # plain transfer; NamedSharding costs extra on axon
             return jax.device_put(x, mesh.devices.flat[0])
+        if x.shape[axis] % n_data != 0:
+            raise ValueError(
+                f"batch axis {axis} has size {x.shape[axis]}, not divisible by "
+                f"the data-parallel mesh size {n_data}; choose batch_size as a "
+                f"multiple of {n_data} (shape {x.shape})")
         spec = [None] * x.ndim
         spec[axis] = DATA_AXIS
         sh = NamedSharding(mesh, P(*spec))

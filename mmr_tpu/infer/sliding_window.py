@@ -126,9 +126,13 @@ def sliding_window_inference(
 
 def make_sliding_window_fn(model, variables, roi, num_classes,
                            sw_batch_size=24, overlap=0.5, mode="gaussian",
-                           preprocess=None):
+                           preprocess=None, mesh=None):
     """Bind a flax model into a frame-batch predictor
-    ``(N, H, W, 3) -> (N, H, W, C)`` logits."""
+    ``(N, H, W, 3) -> (N, H, W, C)`` logits.
+
+    With ``mesh``, the frame axis (the per-video temporal batch) is sharded
+    over the data mesh axis — each chip blends its own frames' windows; no
+    cross-chip reduction is needed (SURVEY.md §5.7's TPU mapping)."""
 
     def predictor(windows):
         return model.apply(variables, windows, train=False)
@@ -140,4 +144,12 @@ def make_sliding_window_fn(model, variables, roi, num_classes,
             frames, predictor, tuple(roi), num_classes,
             sw_batch_size=sw_batch_size, overlap=overlap, mode=mode)
 
-    return jax.jit(run)
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(run)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmr_tpu.core.mesh import DATA_AXIS
+
+    shard_frames = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(run, in_shardings=(shard_frames,), out_shardings=shard_frames)

@@ -141,12 +141,24 @@ class Trainer:
 
     # ----------------------------------------------------------------- train
     def _device_batches(self, sampler, epoch: int, train: bool):
+        batch_axis = 1 if train else 0
+
         def transfer(item):
             imgs, masks = item
+            if jax.process_count() > 1:
+                # hosts sample identical global batches (deterministic epoch
+                # seeds); each host transfers only its slice and
+                # make_array_from_process_local_data assembles the global
+                # array (SURVEY.md §5.8 host-local loading)
+                from mmr_tpu.core.mesh import local_batch_slice
+
+                sl = local_batch_slice(imgs.shape[batch_axis])
+                take = (slice(None),) * batch_axis + (sl,)
+                imgs, masks = imgs[take], masks[take]
             # train batches are stacked (n_accum, B, ...) → shard axis 1
             return shard_batch(self.mesh, (imgs.astype(np.float32),
                                            masks.astype(np.int32)),
-                               axis=1 if train else 0)
+                               axis=batch_axis)
 
         if train:
             source = microbatch_stacker(
@@ -158,7 +170,13 @@ class Trainer:
     def train_one_epoch(self, sampler, epoch: int, lr: float):
         losses, ious = [], []
         n_samples = 0
-        for images, masks in self._device_batches(sampler, epoch, train=True):
+        batches = self._device_batches(sampler, epoch, train=True)
+        if self.config.get("progress_bar"):
+            from tqdm import tqdm
+
+            batches = tqdm(batches, total=len(sampler) // max(self.n_accum, 1),
+                           desc=f"epoch {epoch}", leave=False)
+        for images, masks in batches:
             self.state, met = self._train_step(
                 self.state, images, masks, jnp.float32(lr),
                 self.rng.step("train", epoch, len(losses)))
