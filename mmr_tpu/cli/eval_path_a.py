@@ -52,14 +52,14 @@ def main(argv=None):
     ds = PngFolderDataset(args.data_dir, args.split, hw, -1, num_classes)
     arch = args.model if args.model.lower() not in ("resnet18", "resnet34") \
         else f"resnet{args.resnetModel}"
-    model, _ = create_model(arch, classes=num_classes, apply_softmax=False)
+    model, _ = create_model(arch, classes=num_classes)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init({"params": jax.random.key(0)},
                                jnp.zeros((1, *hw, 3), jnp.float32), train=False)
     opt = build_optimizer("adam")
     state = TrainState.create(variables, opt)
     cm = CheckpointManager(args.checkpoint_dir)
-    state, meta = cm.load(state, args.which)
+    state, meta = cm.load(state, args.which, weights_only=True)
     print(f"Loaded {args.which} checkpoint: {meta}")
 
     loss_fn = functools.partial(blended_ce_dice_loss,

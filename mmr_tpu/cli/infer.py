@@ -26,7 +26,6 @@ def main(argv=None):
     config = get_config(args.test_dataset_path, args.results_path, "testing",
                         config_args=config_args)
 
-    import jax
     import json
 
     from mmr_tpu.data.splits import get_data_ids

@@ -61,7 +61,6 @@ def main(argv=None):
     # heavy imports after arg validation (fast --help)
     from mmr_tpu.data.patch_dataset import PatchSampler
     from mmr_tpu.data.splits import create_split_files, get_data_ids
-    from mmr_tpu.data.augment import AugmentConfig
     from mmr_tpu.train.engine import Trainer
 
     create_split_files(args.dataset_path, args.splitting)

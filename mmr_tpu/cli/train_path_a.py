@@ -103,8 +103,9 @@ def main(argv=None):
 
     arch = args.model if args.model.lower() not in ("resnet18", "resnet34") \
         else f"resnet{args.resnetModel}"
-    model, _ = create_model(arch, classes=num_classes,
-                            apply_softmax=False)
+    # segnet's baked softmax (segnet.py:220) stays off for CE training —
+    # that is the factory's training default
+    model, _ = create_model(arch, classes=num_classes)
     mesh = create_mesh()
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init({"params": rng.named("init"),

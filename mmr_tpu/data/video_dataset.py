@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
 
 from mmr_tpu.data.zarr_io import VideoStore
 

@@ -31,8 +31,9 @@ def _window_starts(image_size: int, roi: int, overlap: float) -> list[int]:
     if roi >= image_size:
         return [0]
     interval = max(1, int(roi * (1.0 - overlap)))
-    starts = list(range(0, image_size - roi + interval, interval))
-    return [min(s, image_size - roi) for s in starts]
+    starts = [min(s, image_size - roi)
+              for s in range(0, image_size - roi + interval, interval)]
+    return sorted(set(starts))  # edge clamping can duplicate the last start
 
 
 def gaussian_importance_map(roi: tuple[int, int], sigma_scale: float = 0.125) -> np.ndarray:

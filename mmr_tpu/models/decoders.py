@@ -14,7 +14,6 @@ model sizes land in the same regime (default UNet++/MobileNetV3 ≈ 3.7M params,
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

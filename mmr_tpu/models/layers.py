@@ -10,7 +10,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 from flax import linen as nn

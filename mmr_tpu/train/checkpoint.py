@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import shutil
 from pathlib import Path
-from typing import Any
+
 
 import jax
 import numpy as np
@@ -76,9 +76,21 @@ class CheckpointManager:
         return False
 
     # ------------------------------------------------------------------ load
-    def load(self, template: TrainState, which: str = "last_model") -> tuple[TrainState, dict]:
+    def load(self, template: TrainState, which: str = "last_model",
+             weights_only: bool = False) -> tuple[TrainState, dict]:
+        """``weights_only=True`` restores just params/batch_stats — for
+        evaluation/inference the optimizer used at train time (and hence the
+        opt-state pytree structure) need not match the eval template
+        (mirrors the reference's tolerance of raw state dicts,
+        ``ModelEval.py:206-226``)."""
         path = (self.dir / which).resolve()
         meta = json.loads((self.dir / f"{which}.json").read_text())
+        if weights_only:
+            # restore the raw saved tree (no structural template) and graft
+            # just the weights — the eval-side optimizer need not match
+            raw = self._ckptr.restore(path)
+            return template.replace(params=raw["params"],
+                                    batch_stats=raw["batch_stats"]), meta
         state = self._ckptr.restore(path, jax.device_get(template))
         return state, meta
 
@@ -127,3 +139,47 @@ def export_torch_checkpoint(path: str | Path, state: TrainState, epoch: int,
     if validation_loss is not None:
         ckpt["validation_loss"] = float(validation_loss)
     torch.save(ckpt, str(path))
+
+
+def import_torch_checkpoint(path: str | Path, template: TrainState) -> tuple[TrainState, dict]:
+    """Load a ``.pth`` written by :func:`export_torch_checkpoint` (or any
+    torch checkpoint with the same dotted-name layout) back into a
+    :class:`TrainState`. Mirrors the reference's tolerance for both wrapped
+    and raw state dicts (``ModelEval.py:206-226``). Kernels convert
+    OIHW → HWIO; optimizer state stays from the template (the reference's
+    Path-A ``--resume`` likewise restarts optimizer moments when shapes
+    change)."""
+    import torch
+
+    raw = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(raw, dict) and "network_state_dict" in raw:
+        sd = raw["network_state_dict"]
+        stats_sd = raw.get("batch_stats", {})
+        meta = {k: raw[k] for k in ("epoch", "validation_loss") if k in raw}
+    else:  # raw state dict
+        sd, stats_sd, meta = raw, {}, {}
+
+    def fill(tree, flat, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                out[k] = fill(v, flat, name)
+            else:
+                if name not in flat:
+                    raise KeyError(f"checkpoint missing parameter {name!r}")
+                arr = flat[name].numpy()
+                if name.endswith(".kernel") and arr.ndim == 4:
+                    arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+                if tuple(arr.shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch for {name}: checkpoint {arr.shape} "
+                        f"vs model {tuple(v.shape)}")
+                out[k] = np.asarray(arr, dtype=np.asarray(v).dtype)
+        return out
+
+    params = fill(jax.device_get(template.params), sd)
+    batch_stats = template.batch_stats
+    if stats_sd and template.batch_stats:
+        batch_stats = fill(jax.device_get(template.batch_stats), stats_sd)
+    return template.replace(params=params, batch_stats=batch_stats), meta

@@ -16,7 +16,6 @@ prefetch, on-device augmentation.
 from __future__ import annotations
 
 import pickle
-import time
 from pathlib import Path
 from typing import Optional
 
@@ -29,7 +28,6 @@ from mmr_tpu.core.prng import RngStream, seed_everything
 from mmr_tpu.data.augment import AugmentConfig
 from mmr_tpu.data.pipeline import PrefetchIterator, microbatch_stacker
 from mmr_tpu.losses import dice_ce_loss
-from mmr_tpu.metrics.iou import iou_score
 from mmr_tpu.models import create_model
 from mmr_tpu.models.factory import get_preprocessing
 from mmr_tpu.monitor import TrainingMonitor, save_losses, save_dashboard, save_triptychs

@@ -24,7 +24,6 @@ recompile. Augmentation happens inside the step (same program) when an
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -184,3 +184,52 @@ def test_torch_export_readable(tmp_path):
     # conv kernels exported in torch OIHW layout
     k = ckpt["network_state_dict"]["Conv_0.kernel"]
     assert k.shape == (8, 3, 3, 3)
+
+
+def test_torch_checkpoint_roundtrip(tmp_path, rng):
+    """Our .pth export loads back bit-exactly (torch-interchange format)."""
+    from mmr_tpu.train.checkpoint import import_torch_checkpoint
+
+    model = TinySeg()
+    vs = model.init(jax.random.key(3), jnp.zeros((1, 8, 8, 3)), train=False)
+    opt = build_optimizer("adam")
+    state = TrainState.create(vs, opt)
+    out = tmp_path / "model.pth"
+    export_torch_checkpoint(out, state, epoch=7, validation_loss=0.42)
+
+    template = TrainState.create(
+        model.init(jax.random.key(9), jnp.zeros((1, 8, 8, 3)), train=False), opt)
+    restored, meta = import_torch_checkpoint(out, template)
+    assert meta == {"epoch": 7, "validation_loss": 0.42}
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params)
+    assert all(jax.tree_util.tree_leaves(same))
+    x = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(model.apply({"params": state.params,
+                                "batch_stats": state.batch_stats}, x)),
+        np.asarray(model.apply({"params": restored.params,
+                                "batch_stats": restored.batch_stats}, x)),
+        atol=0)
+
+
+def test_weights_only_load_across_optimizers(tmp_path):
+    """Eval-side loads must not depend on the training optimizer's opt-state
+    structure (the bug class found while driving eval_path_a)."""
+    model = TinySeg()
+    vs = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+    train_opt = build_optimizer("adamw", clip_grad_norm=12.0, weight_decay=1e-4)
+    state = TrainState.create(vs, train_opt)
+    cm = CheckpointManager(tmp_path)
+    cm.save(state, epoch=1, validation_loss=0.5)
+
+    eval_opt = build_optimizer("adam")  # different opt-state pytree
+    template = TrainState.create(
+        model.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)), train=False), eval_opt)
+    restored, meta = cm.load(template, "best_model", weights_only=True)
+    assert meta["epoch"] == 1
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params)
+    assert all(jax.tree_util.tree_leaves(same))
