@@ -83,6 +83,8 @@ def make_train_step(
         def accum_body(carry, xs):
             stats, grad_sum, loss_sum, iou_sum = carry
             img, msk, r = xs
+            if img.dtype == jnp.uint8:  # compact-transfer path: k/255 floats
+                img = img.astype(jnp.float32) / 255.0
             if preprocess is not None:
                 img = preprocess(img)
             if augment is not None:
@@ -137,6 +139,8 @@ def make_eval_step(
     per-class tp/fp/fn for streaming aggregation)."""
 
     def step(state: TrainState, images, masks):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         if preprocess is not None:
             images = preprocess(images)
         logits = model.apply(state.variables, images, train=False)
