@@ -104,26 +104,43 @@ class PatchSampler:
         }
 
     # ----------------------------------------------------------------- epoch
-    def epoch(self, epoch_seed: int | None = None):
+    def epoch(self, epoch_seed: int | None = None, num_workers: int = 8):
         """Yield ``steps_per_epoch`` batches of (images NHWC f32 [0,1],
-        masks NHW u8)."""
+        masks NHW u8). The per-sample Zarr window reads (chunk decode is
+        C-side, GIL-free) run on a thread pool — the reference's
+        ``num_workers`` DataLoader processes collapse to this plus the
+        on-device augmentation."""
+        from concurrent.futures import ThreadPoolExecutor
+
         if epoch_seed is not None:
             self.rng = np.random.RandomState(epoch_seed)
-        ph, pw = self.patch_size
         iph, ipw = self.initial_patch_size
-        for _ in range(self.steps_per_epoch):
-            idxs = self._next_sample_indices(self.batch_size)
-            imgs = np.empty((self.batch_size, iph, ipw, 3), np.float32)
-            masks = np.empty((self.batch_size, iph, ipw), np.uint8)
-            for pos, sample_idx in enumerate(idxs):
-                si, t = self.samples[sample_idx]
-                store = self.stores[si]
-                shape = store.shape[1:]
-                frame_locs = self._frame_locations(si, t) if self._force_fg(pos) else None
-                y0, x0 = self._get_bbox(shape, frame_locs is not None, frame_locs)
-                imgs[pos] = store.read_image_window(t, y0, x0, iph, ipw)
-                masks[pos] = store.read_mask_window(t, y0, x0, iph, ipw)
-            yield imgs, masks
+
+        def read_one(args):
+            pos, si, t, y0, x0 = args
+            store = self.stores[si]
+            return (pos, store.read_image_window(t, y0, x0, iph, ipw),
+                    store.read_mask_window(t, y0, x0, iph, ipw))
+
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            for _ in range(self.steps_per_epoch):
+                idxs = self._next_sample_indices(self.batch_size)
+                # all RNG-dependent decisions happen here, in order, on the
+                # caller thread — the pool only performs reads (deterministic)
+                work = []
+                for pos, sample_idx in enumerate(idxs):
+                    si, t = self.samples[sample_idx]
+                    frame_locs = (self._frame_locations(si, t)
+                                  if self._force_fg(pos) else None)
+                    y0, x0 = self._get_bbox(self.stores[si].shape[1:],
+                                            frame_locs is not None, frame_locs)
+                    work.append((pos, si, t, y0, x0))
+                imgs = np.empty((self.batch_size, iph, ipw, 3), np.float32)
+                masks = np.empty((self.batch_size, iph, ipw), np.uint8)
+                for pos, img, mask in pool.map(read_one, work):
+                    imgs[pos] = img
+                    masks[pos] = mask
+                yield imgs, masks
 
     def __len__(self):
         return self.steps_per_epoch

@@ -1,0 +1,52 @@
+"""Core subsystem tests: PRNG discipline, mesh spec, precision policy."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mmr_tpu.core.prng import RngStream, seed_everything, DEFAULT_SEED
+from mmr_tpu.core.mesh import MeshSpec, create_mesh, batch_sharding, local_batch_slice
+from mmr_tpu.core.precision import resolve, DEFAULT_PRECISION
+
+
+def test_rng_stream_deterministic_and_distinct():
+    r1 = RngStream(seed_everything(0))
+    r2 = RngStream(seed_everything(0))
+    a = jax.random.uniform(r1.step("augment", 3, 17))
+    b = jax.random.uniform(r2.step("augment", 3, 17))
+    assert float(a) == float(b)
+    c = jax.random.uniform(r1.step("augment", 3, 18))
+    d = jax.random.uniform(r1.step("dropout", 3, 17))
+    assert float(a) != float(c) and float(a) != float(d)
+    assert DEFAULT_SEED == 6210  # ModelTraining.py:150
+
+
+def test_mesh_spec_resolution():
+    assert MeshSpec(data=-1, model=1).resolve(8) == (8, 1)
+    assert MeshSpec(data=4, model=2).resolve(8) == (4, 2)
+    with pytest.raises(ValueError):
+        MeshSpec(data=3, model=2).resolve(8)
+
+
+def test_mesh_and_sharding():
+    mesh = create_mesh()
+    assert mesh.axis_names == ("data", "model")
+    sh = batch_sharding(mesh, ndim=4)
+    assert sh.spec[0] == "data"
+
+
+def test_local_batch_slice_single_process():
+    assert local_batch_slice(32) == slice(0, 32)
+
+
+def test_precision_resolution():
+    assert resolve("bf16").compute_dtype == jnp.bfloat16
+    assert resolve("fp32").compute_dtype == jnp.float32
+    assert resolve(None) is DEFAULT_PRECISION
+    assert resolve("amp").compute_dtype == jnp.bfloat16  # AMP maps to bf16
+    with pytest.raises(ValueError):
+        resolve("int4")
+    tree = {"a": jnp.ones(2, jnp.float32), "b": jnp.ones(2, jnp.int32)}
+    out = DEFAULT_PRECISION.cast_compute(tree)
+    assert out["a"].dtype == jnp.bfloat16 and out["b"].dtype == jnp.int32
