@@ -86,3 +86,34 @@ def test_dataset_statistics(tmp_path):
     np.testing.assert_allclose(std, 0.0, atol=1e-3)
     with pytest.raises(FileNotFoundError):
         calculate_dataset_statistics(tmp_path / "nope")
+
+
+def test_extract_frames_dataset(tmp_path):
+    """Path-A offline tooling: video folders → <split>/{images,groundtruth}
+    PNG dataset with an 80/20 video split (data_preprocessing.py:57-157)."""
+    from mmr_tpu.data.convert import extract_frames_dataset
+
+    raw = tmp_path / "raw"
+    for v in range(3):
+        vdir = raw / f"video_{v:02d}"
+        seg = vdir / "segmentation"
+        seg.mkdir(parents=True)
+        writer = cv2.VideoWriter(str(vdir / "video_left.avi"),
+                                 cv2.VideoWriter_fourcc(*"MJPG"), 5, (64, 48))
+        for t in range(6):
+            writer.write(np.full((48, 64, 3), 40 * t, np.uint8))
+        writer.release()
+        for t in (0, 2, 4):
+            mask = np.zeros((48, 64), np.uint8)
+            mask[10:20, 10:30] = 1
+            cv2.imwrite(str(seg / f"{t:09d}.png"), mask)
+
+    out = extract_frames_dataset(raw, tmp_path / "png", val_fraction=0.34, seed=0)
+    train_imgs = sorted((out / "train" / "images").glob("*.png"))
+    val_imgs = sorted((out / "val" / "images").glob("*.png"))
+    assert len(train_imgs) + len(val_imgs) == 9  # 3 videos × 3 annotated frames
+    assert len(val_imgs) == 3                    # 1 of 3 videos held out
+    gt = sorted((out / "train" / "groundtruth").glob("*.png"))
+    assert len(gt) == len(train_imgs)
+    # matching names between images and groundtruth
+    assert {p.name for p in gt} == {p.name for p in train_imgs}
