@@ -59,3 +59,28 @@ def test_train_path_a_smoke(png_root, tmp_path):
     assert (save / "epoch_2_samples.png").exists()
     log = (save / "train.log").read_text()
     assert "heavy metrics" in log  # dice+hausdorff cadence ran
+
+
+@pytest.mark.slow
+def test_train_model_5fold_and_heavy_aug(tmp_path):
+    """5-fold splitting and the heavy (nnU-Net) augmentation regime through
+    the real CLI: the sampler must feed enlarged initial patches that the
+    on-device spatial transform crops back to patch size."""
+    import jax
+
+    from mmr_tpu.cli.train_model import main
+    from mmr_tpu.data import make_synthetic_dataset
+
+    ds = tmp_path / "ds"
+    make_synthetic_dataset(ds, n_videos=5, frames_per_video=2,
+                           height=64, width=80, n_classes=2,
+                           patch_size=(32, 32), seed=2)
+    rc = main([str(ds), str(tmp_path / "res"), "5-fold", "2", "[32,32]",
+               "-f", "1",
+               "--batch_size", "8", "--n_epochs", "1", "--steps_per_epoch", "2",
+               "--val_steps_per_epoch", "1", "--precision", "fp32",
+               "--transformations_heavy_augmentation", "true",
+               "--model_encoder_weights", "none"])
+    assert rc == 0
+    assert (ds / "crossval_split.json").exists()
+    assert (tmp_path / "res" / "checkpoints" / "best_model").exists()
