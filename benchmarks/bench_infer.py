@@ -1,0 +1,61 @@
+"""Secondary benchmark: full-HD (1080×1920) sliding-window inference
+throughput on the flagship model — the reference's per-video-FPS surface
+(``Main_MMR_SegModel.py:1274-1290``: fp16 + channels_last, roi 512×640,
+sw_batch 24, overlap 0.5). Not run by the driver (which runs ``bench.py``);
+tracked manually across rounds.
+
+Usage: python benchmarks/bench_infer.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmr_tpu.infer.sliding_window import make_sliding_window_fn
+    from mmr_tpu.models import create_model
+    from mmr_tpu.models.factory import get_preprocessing
+
+    model, _ = create_model("UnetPlusPlus",
+                            encoder_name="tu-mobilenetv3_small_100", classes=10)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init({"params": jax.random.key(0)},
+                               jnp.zeros((1, 64, 64, 3), jnp.float32),
+                               train=False)
+    variables = jax.device_put(variables)
+    pre = get_preprocessing("tu-mobilenetv3_small_100")
+    sw = make_sliding_window_fn(model, variables, (512, 640), 10,
+                                sw_batch_size=24, overlap=0.5, preprocess=pre)
+
+    frames = jax.device_put(
+        np.random.rand(4, 1080, 1920, 3).astype(np.float32))
+    out = sw(frames)
+    np.asarray(out[0, 0, 0, 0])  # hard sync (block_until_ready is a no-op
+    # on the axon tunnel)
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = sw(frames)
+    np.asarray(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    fps = n * frames.shape[0] / dt
+    print(json.dumps({
+        "metric": "infer_fullhd_frames_per_sec@1080x1920_sw512x640_ov0.5",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+    }))
+
+
+if __name__ == "__main__":
+    main()
