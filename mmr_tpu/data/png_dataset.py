@@ -61,15 +61,35 @@ class PngFolderDataset:
     def __len__(self):
         return len(self.files)
 
-    def _load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
-        if self._cache is not None and i in self._cache:
+    # train images resize to 540×960 before the random crop — the reference's
+    # fixed train-time size (SegNetDataLoaderV1_SAR.py:153-156)
+    TRAIN_RESIZE_HW = (540, 960)
+
+    def _load(self, i: int, crop_rng: np.random.RandomState | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
+        random_crop = (self.split == "train" and self.crop_size == -1
+                       and not self.full_res)
+        if self._cache is not None and i in self._cache and not random_crop:
             return self._cache[i]
         name = self.files[i]
         img = cv2.cvtColor(cv2.imread(str(self.img_dir / name)), cv2.COLOR_BGR2RGB)
         gt = cv2.imread(str(self.gt_dir / name), cv2.IMREAD_UNCHANGED)
         if gt is None:
             raise FileNotFoundError(str(self.gt_dir / name))
-        if not self.full_res:
+        if random_crop:
+            # resize to the fixed train size, then random-crop to target
+            # (cropSize == -1 semantics, SegNetDataLoaderV1_SAR.py:210-213)
+            th, tw = self.resized_hw
+            rh = max(self.TRAIN_RESIZE_HW[0], th)
+            rw = max(self.TRAIN_RESIZE_HW[1], tw)
+            img = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
+            gt = cv2.resize(gt, (rw, rh), interpolation=cv2.INTER_NEAREST)
+            rng = crop_rng or np.random
+            y0 = int(rng.randint(0, rh - th + 1))
+            x0 = int(rng.randint(0, rw - tw + 1))
+            img = img[y0:y0 + th, x0:x0 + tw]
+            gt = gt[y0:y0 + th, x0:x0 + tw]
+        elif not self.full_res:
             h, w = self.resized_hw
             img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
             gt = cv2.resize(gt, (w, h), interpolation=cv2.INTER_NEAREST)
@@ -79,7 +99,7 @@ class PngFolderDataset:
         else:  # id-coded grayscale (sarrarp50), clamp like :172-176
             ids = np.clip(gt, 0, self.num_classes - 1)
         out = (img.astype(np.float32) / 255.0, ids.astype(np.int32))
-        if self._cache is not None:
+        if self._cache is not None and not random_crop:
             self._cache[i] = out
         return out
 
@@ -89,14 +109,15 @@ class PngFolderDataset:
     def epoch(self, batch_size: int, shuffle: bool | None = None,
               seed: int = 0, drop_last: bool = True):
         """Yield (images NHWC f32, masks NHW i32) batches."""
+        rng = np.random.RandomState(seed)
         order = np.arange(len(self))
         if shuffle if shuffle is not None else self.split == "train":
-            np.random.RandomState(seed).shuffle(order)
+            rng.shuffle(order)
         n = len(order) - (len(order) % batch_size if drop_last else 0)
         for s in range(0, max(n, 1 if not drop_last else 0), batch_size):
             idx = order[s:s + batch_size]
             if len(idx) == 0:
                 return
-            items = [self._load(int(i)) for i in idx]
+            items = [self._load(int(i), crop_rng=rng) for i in idx]
             yield (np.stack([x[0] for x in items]),
                    np.stack([x[1] for x in items]))

@@ -82,8 +82,8 @@ def test_png_dataset(png_root):
     ds_full = PngFolderDataset(png_root, "test", (32, 32), -1, 10, full_res=True)
     img, ids = ds_full[0]
     assert img.shape == (40, 50, 3)
-    # RAM cache returns identical data
-    ds_cache = PngFolderDataset(png_root, "train", (32, 32), -1, 10, cache_in_ram=True)
+    # RAM cache returns identical data (deterministic path: no random crop)
+    ds_cache = PngFolderDataset(png_root, "test", (32, 32), 256, 10, cache_in_ram=True)
     a = ds_cache[1][0]
     b = ds_cache[1][0]
     np.testing.assert_array_equal(a, b)
@@ -128,3 +128,20 @@ def test_factory_missing_weights_falls_back(tmp_path, monkeypatch, caplog):
         out = hook(vs)
     assert out is vs  # unchanged fallback
     assert any("random init" in r.message for r in caplog.records)
+
+
+def test_png_train_random_crop(png_root):
+    """cropSize == -1 semantics: train items resize to the fixed train size
+    (540x960, clamped to >= target) then random-crop to the target
+    (SegNetDataLoaderV1_SAR.py:153-156,210-213)."""
+    ds = PngFolderDataset(png_root, "train", (32, 32), -1, 10)
+    rng = np.random.RandomState(0)
+    a = ds._load(0, crop_rng=rng)[0]
+    b = ds._load(0, crop_rng=rng)[0]
+    assert a.shape == (32, 32, 3) and b.shape == (32, 32, 3)
+    assert not np.array_equal(a, b)  # different random crops
+    # test split: deterministic plain resize
+    ds_t = PngFolderDataset(png_root, "test", (32, 32), -1, 10)
+    t1 = ds_t._load(0)[0]
+    t2 = ds_t._load(0)[0]
+    np.testing.assert_array_equal(t1, t2)
