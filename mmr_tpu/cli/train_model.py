@@ -75,6 +75,7 @@ def main(argv=None):
         tuple(config["patch_size"]), config["batch_size"],
         int(config.get("steps_per_epoch", 250)),
         oversample_foreground_percent=float(config.get("oversample_ratio", 0.33)),
+        oversample_strategy=str(config.get("oversample_strategy", "deterministic")),
         initial_patch_size=aug_initial,
         seed=int(config.get("seed", 6210)))
     val_sampler = PatchSampler(

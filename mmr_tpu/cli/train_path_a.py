@@ -123,20 +123,41 @@ def main(argv=None):
                                  mesh=mesh, n_accum=1,
                                  augment=augment_path_a_batch_wrapper())
     eval_step = make_eval_step(model, loss_fn, num_classes, mesh=mesh)
+    predict = jax.jit(lambda variables, x: jnp.argmax(
+        model.apply(variables, x, train=False), -1))
     ckpts = CheckpointManager(save_dir / "checkpoints")
 
     if args.resume:
-        # Path-A resume semantics: weights reload, head(s) reinitialize,
-        # epochs restart (transfer-learning resume, ModelTraining.py:308-337)
-        state, _ = ckpts.load(state, "best_f1")
-        fresh = model.init({"params": rng.named("reinit")},
-                           jnp.zeros((1, *hw, 3), jnp.float32), train=False)
-        params = jax.device_get(state.params)
-        for head in ("outc", "conv_last", "head", "dec5"):
-            if head in params:
-                params[head] = jax.device_get(fresh["params"])[head]
-                logger.info(f"re-initialized head {head!r} for resume")
-        state = state.replace(params=jax.tree_util.tree_map(jnp.asarray, params))
+        # Path-A resume semantics (ModelTraining.py:308-337): --resume is a
+        # checkpoint *path* (possibly from a different run — the
+        # transfer-learning use case); weights load tolerantly, the
+        # classification head keeps its fresh init (the reference keeps
+        # conv_last from the current model), and start_epoch adopts the
+        # checkpoint's stored epoch unless the user set --start-epoch.
+        from mmr_tpu.train.checkpoint import load_checkpoint_path
+
+        try:
+            state, meta = load_checkpoint_path(args.resume, state)
+        except FileNotFoundError:
+            print(f"=> no checkpoint found at '{args.resume}'")
+            meta = None
+        if meta is not None:
+            logger.info(f"=> loaded checkpoint '{args.resume}' "
+                        f"(epoch {meta.get('epoch', '?')})")
+            if meta.get("skipped"):
+                logger.info(f"   skipped {len(meta['skipped'])} non-matching "
+                            f"entries: {meta['skipped'][:5]}...")
+            if args.start_epoch == 0 and meta.get("epoch"):
+                args.start_epoch = int(meta["epoch"])
+            fresh = model.init({"params": rng.named("reinit")},
+                               jnp.zeros((1, *hw, 3), jnp.float32), train=False)
+            params = jax.device_get(state.params)
+            for head in ("outc", "conv_last", "head", "dec5"):
+                if head in params:
+                    params[head] = jax.device_get(fresh["params"])[head]
+                    logger.info(f"re-initialized head {head!r} for resume")
+            state = state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, params))
 
     history = {"epoch": [], "train_loss": [], "val_loss": [],
                "train_iou": [], "val_iou": []}
@@ -176,18 +197,28 @@ def main(argv=None):
                     f"train loss {tl:.4f} val loss {vl:.4f} "
                     f"mIoU {miou:.4f} mF1 {float(f1.mean()):.4f}")
 
-        # heavy metrics cadence: epoch 1 and every 25th (ModelTraining.py:420-444)
-        if last_batch is not None and (
-                epoch == 1 or epoch % args.heavy_metric_interval == 0):
-            imgs, masks = last_batch
-            logits = model.apply(state.variables, jnp.asarray(imgs), train=False)
-            preds = np.asarray(jnp.argmax(logits, -1))
-            dices, hds = [], []
-            for c in range(1, num_classes):
-                dices.append(binary_dice(preds == c, masks == c))
-                hds.append(capped_hausdorff(preds[0] == c, masks[0] == c))
-            logger.info(f"  heavy metrics: mean binary dice {np.mean(dices):.4f} "
-                        f"mean hausdorff {np.mean(hds):.1f}")
+        # Heavy metrics cadence: epoch 1 and every 25th
+        # (ModelTraining.py:420-444,622-654). Reference per-image semantics:
+        # dice over the *joint* one-hot stack of all classes — which for
+        # one-hot pairs reduces to pixel agreement, 2·|∩|/(HW+HW) — plus the
+        # per-class Hausdorff distances (∞→1000) summed per image. Computed
+        # over the full validation set, host-side, off the step path.
+        if epoch == 1 or epoch % args.heavy_metric_interval == 0:
+            tot_dice, tot_haus, n_img = 0.0, 0.0, 0
+            for imgs, masks in val_ds.epoch(args.valBatchSize, shuffle=False):
+                b_img, _ = shard_batch(mesh, (imgs, masks))
+                preds = np.asarray(predict(state.variables, b_img))
+                for p, m in zip(preds, np.asarray(masks)):
+                    tot_dice += float(binary_dice(
+                        np.eye(num_classes, dtype=bool)[p],
+                        np.eye(num_classes, dtype=bool)[m]))
+                    tot_haus += sum(capped_hausdorff(p == c, m == c)
+                                    for c in range(num_classes))
+                    n_img += 1
+            logger.info(
+                f"  heavy metrics over {n_img} val images: "
+                f"mean dice {tot_dice / max(n_img, 1):.4f} "
+                f"mean hausdorff {tot_haus / max(n_img, 1):.1f}")
 
         if ckpts.save_best_by_f1(state, epoch, float(f1.mean())):
             logger.info(f"  new best mean F1 {float(f1.mean()):.4f} — checkpointed")

@@ -32,8 +32,8 @@ ALLOWED_TRAINING_ARGS = [
     "transformations_low_resolution", "transformations_brightness",
     "transformations_contrast", "transformations_gamma",
     "transformations_mirror", "transformations_dummy_2d",
-    "transformations_heavy_augmentation",
-    "oversample_ratio", "batch_size", "num_workers", "n_epochs",
+    "transformations_heavy_augmentation", "transformations_per_sample_spatial",
+    "oversample_ratio", "oversample_strategy", "batch_size", "num_workers", "n_epochs",
     "val_plot_interval", "grad_clip_max_norm", "grad_accumulate_step",
     # TPU-native extras
     "seed", "precision", "mesh_data", "steps_per_epoch", "val_steps_per_epoch",
@@ -60,11 +60,18 @@ def get_default_config(n_classes: int, patch_size) -> dict:
         "mirror": True,
         "dummy_2d": False,
         "heavy_augmentation": False,  # Pre_Process.py:597 hard-codes False
+        # reference distribution: rotation/scale drawn per sample
+        # (Pre_Process.py:339-366); False shares spatial params per
+        # microbatch (TPU-fast path, see data/augment.py)
+        "per_sample_spatial": False,
     }
     return {
         "n_classes": n_classes,
         "transformations": transformations,
         "oversample_ratio": 0.33,
+        # 'deterministic' (last 33% of each batch fg-forced,
+        # Pre_Process.py:787-806) | 'probabilistic' (:808-826)
+        "oversample_strategy": "deterministic",
         "batch_size": 8,
         "num_workers": 8,
         "infer_batch_size": 6,

@@ -98,6 +98,44 @@ class CheckpointManager:
         return (self.dir / which).exists()
 
 
+def load_checkpoint_path(path: str | Path, template: TrainState,
+                         weights_only: bool = True) -> tuple[TrainState, dict]:
+    """Load a checkpoint from an explicit *path* — the reference's Path-A
+    ``--resume <file>`` semantics (``ModelTraining.py:308-337``: the flag is a
+    checkpoint file, possibly from a different run). Accepts:
+
+    - a ``.pth`` torch checkpoint (exported by us or reference-shaped) —
+      loaded tolerantly (missing/mismatched entries keep template values,
+      like the reference's ``strict=False`` + key filtering);
+    - an orbax checkpoint directory written by :class:`CheckpointManager`
+      (``best_f1`` / ``last_model`` / ``best_model``), with its sidecar
+      ``<name>.json`` meta when present;
+    - a run directory containing ``checkpoints/`` — resolves to ``best_f1``
+      or ``last_model`` inside it.
+
+    Returns ``(state, meta)``; ``meta`` may contain ``epoch``.
+    """
+    p = Path(path)
+    if not p.exists():
+        raise FileNotFoundError(f"no checkpoint found at '{p}'")
+    if p.is_file():
+        return import_torch_checkpoint(p, template, strict=False)
+    if (p / "checkpoints").is_dir():
+        mgr = CheckpointManager(p / "checkpoints")
+        for name in ("best_f1", "best_model", "last_model"):
+            if mgr.exists(name):
+                return mgr.load(template, name, weights_only=weights_only)
+        raise FileNotFoundError(f"{p}/checkpoints holds no known checkpoint")
+    # an orbax checkpoint directory itself
+    mgr = CheckpointManager(p.parent)
+    meta_file = p.parent / f"{p.name}.json"
+    if meta_file.exists():
+        return mgr.load(template, p.name, weights_only=weights_only)
+    raw = mgr._ckptr.restore(p.resolve())
+    return template.replace(params=raw["params"],
+                            batch_stats=raw.get("batch_stats")), {}
+
+
 # ------------------------------------------------------------- torch export
 
 def export_torch_checkpoint(path: str | Path, state: TrainState, epoch: int,
@@ -141,14 +179,18 @@ def export_torch_checkpoint(path: str | Path, state: TrainState, epoch: int,
     torch.save(ckpt, str(path))
 
 
-def import_torch_checkpoint(path: str | Path, template: TrainState) -> tuple[TrainState, dict]:
+def import_torch_checkpoint(path: str | Path, template: TrainState,
+                            strict: bool = True) -> tuple[TrainState, dict]:
     """Load a ``.pth`` written by :func:`export_torch_checkpoint` (or any
     torch checkpoint with the same dotted-name layout) back into a
     :class:`TrainState`. Mirrors the reference's tolerance for both wrapped
     and raw state dicts (``ModelEval.py:206-226``). Kernels convert
     OIHW → HWIO; optimizer state stays from the template (the reference's
     Path-A ``--resume`` likewise restarts optimizer moments when shapes
-    change)."""
+    change). ``strict=False`` keeps template values for missing or
+    shape-mismatched entries (the reference resume's key filtering +
+    ``load_state_dict(strict=False)``, ``ModelTraining.py:314-335``);
+    skipped names are returned in ``meta['skipped']``."""
     import torch
 
     raw = torch.load(str(path), map_location="cpu", weights_only=True)
@@ -158,6 +200,7 @@ def import_torch_checkpoint(path: str | Path, template: TrainState) -> tuple[Tra
         meta = {k: raw[k] for k in ("epoch", "validation_loss") if k in raw}
     else:  # raw state dict
         sd, stats_sd, meta = raw, {}, {}
+    skipped: list[str] = []
 
     def fill(tree, flat, prefix=""):
         out = {}
@@ -167,14 +210,22 @@ def import_torch_checkpoint(path: str | Path, template: TrainState) -> tuple[Tra
                 out[k] = fill(v, flat, name)
             else:
                 if name not in flat:
-                    raise KeyError(f"checkpoint missing parameter {name!r}")
+                    if strict:
+                        raise KeyError(f"checkpoint missing parameter {name!r}")
+                    skipped.append(name)
+                    out[k] = np.asarray(v)
+                    continue
                 arr = flat[name].numpy()
                 if name.endswith(".kernel") and arr.ndim == 4:
                     arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
                 if tuple(arr.shape) != tuple(v.shape):
-                    raise ValueError(
-                        f"shape mismatch for {name}: checkpoint {arr.shape} "
-                        f"vs model {tuple(v.shape)}")
+                    if strict:
+                        raise ValueError(
+                            f"shape mismatch for {name}: checkpoint {arr.shape} "
+                            f"vs model {tuple(v.shape)}")
+                    skipped.append(name)
+                    out[k] = np.asarray(v)
+                    continue
                 out[k] = np.asarray(arr, dtype=np.asarray(v).dtype)
         return out
 
@@ -182,4 +233,6 @@ def import_torch_checkpoint(path: str | Path, template: TrainState) -> tuple[Tra
     batch_stats = template.batch_stats
     if stats_sd and template.batch_stats:
         batch_stats = fill(jax.device_get(template.batch_stats), stats_sd)
+    if skipped:
+        meta = dict(meta, skipped=skipped)
     return template.replace(params=params, batch_stats=batch_stats), meta

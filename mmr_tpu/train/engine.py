@@ -88,10 +88,21 @@ class Trainer:
             gamma=aug_cfg.get("gamma", True),
             mirror=aug_cfg.get("mirror", True),
             heavy=aug_cfg.get("heavy_augmentation", False),
+            per_sample_spatial=aug_cfg.get("per_sample_spatial", False),
         )
 
         self.rng = RngStream(seed_everything(int(config.get("seed", 6210))))
         self.monitor = TrainingMonitor(self.results_path, self.n_epochs)
+        if aug_cfg.get("dummy_2d"):
+            # The reference's dummy_2d wraps SpatialTransform in
+            # Convert3DTo2D/2DTo3D so rotation/scaling act in-plane on
+            # pseudo-3D (1,H,W) volumes (Pre_Process.py:339-366). This
+            # pipeline is natively 2D — spatial transforms are in-plane by
+            # construction — so the flag is satisfied trivially; surfaced
+            # here so it is never a silently-dead knob.
+            self.monitor.log_message(
+                "transformations.dummy_2d=True: in-plane spatial transforms "
+                "are native on this 2D pipeline (no-op by construction)")
         self.checkpoints = CheckpointManager(self.results_path / "checkpoints")
         self.loss_dict: dict[str, list] = {"train": [], "val": []}
         self.start_epoch = 1

@@ -172,3 +172,22 @@ def test_prefetch_iterator_and_stacker():
 
     with pytest.raises(RuntimeError, match="worker failed"):
         list(PrefetchIterator(boom(), lambda x: x))
+
+
+def test_sampler_probabilistic_oversampling(dataset):
+    """probabilistic strategy (Pre_Process.py:808-826): each batch position is
+    fg-forced i.i.d. with p=oversample_ratio, independent of position."""
+    stores = list_dataset_stores(dataset)
+    ps = PatchSampler(stores, (48, 48), batch_size=6, steps_per_epoch=40,
+                      oversample_foreground_percent=0.5,
+                      oversample_strategy="probabilistic", seed=0)
+    decisions = np.asarray([[ps._force_fg(pos) for pos in range(6)]
+                            for _ in range(200)])
+    rate = decisions.mean()
+    assert 0.4 < rate < 0.6                       # matches p=0.5
+    per_pos = decisions.mean(axis=0)
+    assert per_pos.std() < 0.1                    # position-independent
+    assert decisions[:, -1].mean() < 1.0          # not the deterministic rule
+    # and batches still come out well-formed
+    imgs, masks = next(iter(ps.epoch()))
+    assert imgs.shape == (6, 48, 48, 3) and masks.shape == (6, 48, 48)

@@ -233,3 +233,78 @@ def test_weights_only_load_across_optimizers(tmp_path):
         lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
         state.params, restored.params)
     assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_load_checkpoint_path_variants(tmp_path):
+    """Path-A ``--resume <path>`` (ModelTraining.py:308-337): the flag names a
+    checkpoint — .pth file, orbax dir, or another run's directory — and loads
+    tolerantly (missing entries keep template values)."""
+    from mmr_tpu.train.checkpoint import load_checkpoint_path
+
+    model = TinySeg()
+    vs = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+    opt = build_optimizer("adam")
+    state = TrainState.create(vs, opt)
+    run_dir = tmp_path / "runA"
+    cm = CheckpointManager(run_dir / "checkpoints")
+    cm.save_best_by_f1(state, epoch=5, mean_f1=0.8)
+    pth = tmp_path / "ckpt.pth"
+    export_torch_checkpoint(pth, state, epoch=9)
+
+    template = TrainState.create(
+        model.init(jax.random.key(4), jnp.zeros((1, 8, 8, 3)), train=False), opt)
+
+    def assert_same(restored):
+        same = jax.tree_util.tree_map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            state.params, restored.params)
+        assert all(jax.tree_util.tree_leaves(same))
+
+    # 1. torch file
+    st, meta = load_checkpoint_path(pth, template)
+    assert meta["epoch"] == 9
+    assert_same(st)
+    # 2. another run's directory (resolves checkpoints/best_f1)
+    st, meta = load_checkpoint_path(run_dir, template)
+    assert meta["epoch"] == 5
+    assert_same(st)
+    # 3. the orbax checkpoint dir itself
+    st, meta = load_checkpoint_path(run_dir / "checkpoints" / "best_f1", template)
+    assert meta["epoch"] == 5
+    assert_same(st)
+    # 4. missing path raises (CLI prints "no checkpoint found" and continues)
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint_path(tmp_path / "nope", template)
+
+
+def test_import_torch_checkpoint_tolerant(tmp_path):
+    """strict=False keeps template values for missing keys and reports them —
+    the reference resume's key filtering + load_state_dict(strict=False)."""
+    from mmr_tpu.train.checkpoint import import_torch_checkpoint
+
+    model = TinySeg()
+    vs = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+    opt = build_optimizer("adam")
+    state = TrainState.create(vs, opt)
+    pth = tmp_path / "partial.pth"
+    export_torch_checkpoint(pth, state, epoch=2)
+    # drop the head conv from the saved dict
+    ckpt = torch.load(pth, weights_only=True)
+    removed = [k for k in ckpt["network_state_dict"] if k.startswith("Conv_1")]
+    for k in removed:
+        del ckpt["network_state_dict"][k]
+    torch.save(ckpt, pth)
+
+    template = TrainState.create(
+        model.init(jax.random.key(4), jnp.zeros((1, 8, 8, 3)), train=False), opt)
+    with pytest.raises(KeyError):
+        import_torch_checkpoint(pth, template)  # strict default
+    restored, meta = import_torch_checkpoint(pth, template, strict=False)
+    assert sorted(meta["skipped"]) == sorted(removed)
+    # loaded layer matches source, skipped layer keeps template init
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["Conv_0"]["kernel"]),
+        np.asarray(state.params["Conv_0"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["Conv_1"]["kernel"]),
+        np.asarray(template.params["Conv_1"]["kernel"]))
