@@ -20,7 +20,13 @@ def cross_entropy_loss(
     num_classes = logits.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = jnp.clip(target.astype(jnp.int32), 0, num_classes - 1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    # select the target-class log-prob with a one-hot multiply-reduce, NOT
+    # take_along_axis: XLA:TPU lowers the gather (and its scatter VJP) to a
+    # kCustom fusion measured at 124 ms/step in the flagship train step;
+    # the iota-compare select fuses into the softmax pipeline (~free)
+    onehot = (tgt[..., None] ==
+              jnp.arange(num_classes, dtype=jnp.int32)).astype(logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if label_smoothing > 0.0:
         smooth = -jnp.mean(logp, axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth

@@ -60,6 +60,16 @@ def _nearest_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if out_size % in_size == 0:
+        # integer-factor upscale: torch nearest floor(dst·in/out) duplicates
+        # each element k times consecutively — expressed as broadcast+reshape
+        # instead of a gather (measured: the gather lowering cost 52 ms/step
+        # of the flagship train step on v5e; this fuses to ~free)
+        k = out_size // in_size
+        axis = axis % x.ndim
+        y = jnp.expand_dims(x, axis + 1)
+        y = jnp.broadcast_to(y, y.shape[:axis + 1] + (k,) + y.shape[axis + 2:])
+        return y.reshape(x.shape[:axis] + (out_size,) + x.shape[axis + 1:])
     # PyTorch nn.Upsample(mode='nearest') semantics: floor(dst * in/out)
     idx = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
     idx = np.clip(idx.astype(np.int32), 0, in_size - 1)
