@@ -52,8 +52,9 @@ class SegmentationHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
-                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        from mmr_tpu.models.layers import Conv3x3
+
+        x = Conv3x3(self.num_classes, dtype=self.dtype, name="conv")(x)
         if self.upsampling > 1:
             x = resize_bilinear(
                 x, (x.shape[-3] * self.upsampling, x.shape[-2] * self.upsampling))
@@ -103,11 +104,16 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
     encoder_name: str = "tu-mobilenetv3_small_100"
     decoder_channels: tuple[int, ...] = (256, 128, 64, 32, 16)
     deep_supervision: bool = False
+    # packed=True runs the decoder in the packed-halo fused-kernel dataflow
+    # (ops/pallas/packed_chain.py) — same math, same param tree, TPU-only
+    packed: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self._encode(x, train)
+        if self.packed:
+            return self._packed_decoder(feats, x, train)
         # usable rows: levels that exist (ConvNeXt/MiT have feats[0] is None)
         first = 0 if feats[0] is not None else 1
         rows = feats[first:]                       # X[i][0] = rows[i]
@@ -143,6 +149,53 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
             outs = [to_logits(grid[(0, j)], j) for j in range(1, depth + 1)]
             return jnp.mean(jnp.stack(outs), axis=0) if train else outs[-1]
         return to_logits(grid[(0, depth)], depth)
+
+    def _packed_decoder(self, feats, x, train):
+        """The same UNet++ grid in the packed-halo dataflow: identical param
+        names (x_i_j_conv{1,2}/conv+bn, final_block_j, head_j) so
+        checkpoints interchange with the standard path."""
+        from mmr_tpu.models.packed_blocks import (
+            PackedConvBN, pack_plain, upsample_packed)
+
+        assert not self.deep_supervision, "packed path: deep_supervision off"
+        first = 0 if feats[0] is not None else 1
+        rows = feats[first:]
+        depth = len(rows) - 1
+        row_ch = list(self.decoder_channels[:-1][::-1])[: len(rows) - 1]
+        stride0 = 2 ** (first + 1)
+        assert stride0 == 2, "packed path supports 5-level encoders"
+
+        row_main = row_ch + [rows[-1].shape[-1]]
+        grid = {(i, 0): pack_plain(rows[i], row_main[i])
+                for i in range(len(rows))}
+        for j in range(1, depth + 1):
+            for i in range(0, depth + 1 - j):
+                below = upsample_packed(grid[(i + 1, j - 1)],
+                                        grid[(i, 0)].geom)
+                inputs = [grid[(i, k)] for k in range(j)] + [below]
+                y = PackedConvBN(row_ch[i], name=f"x_{i}_{j}_conv1")(
+                    inputs, train)
+                y = PackedConvBN(row_ch[i], name=f"x_{i}_{j}_conv2")(
+                    [y], train)
+                grid[(i, j)] = y
+
+        class _FinalBlock(nn.Module):
+            out_ch: int
+
+            @nn.compact
+            def __call__(self, t, train=False):
+                from mmr_tpu.ops.pallas.packed_chain import row_geom
+
+                g = row_geom(t.geom.h * 2, t.geom.w * 2, self.out_ch)
+                t = upsample_packed(t, g)
+                t = PackedConvBN(self.out_ch, name="conv1")([t], train)
+                return PackedConvBN(self.out_ch, name="conv2")([t], train)
+
+        y = _FinalBlock(self.decoder_channels[-1],
+                        name=f"final_block_{depth}")(grid[(0, depth)], train)
+        logits = PackedConvBN(self.num_classes, use_bn=False,
+                              name=f"head_{depth}")([y], train)
+        return logits.unpack().astype(jnp.float32)
 
 
 class SegformerModel(nn.Module, _EncoderMixin):

@@ -34,6 +34,32 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
+class Conv3x3(nn.Module):
+    """3x3 stride-1 SAME conv with ``nn.Conv``-identical params (kernel HWIO,
+    optional bias) that routes through the packed-lane Pallas kernel on TPU
+    (``ops/pallas/conv3x3_packed.py``) when the autotuned dispatch table says
+    it beats XLA's im2col lowering. Checkpoint-compatible with ``nn.Conv``."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from mmr_tpu.ops.pallas.conv3x3_packed import conv3x3p_bias_act
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        return conv3x3p_bias_act(x.astype(self.dtype), kernel, bias,
+                                 False, self.use_bias)
+
+
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm + activation — the reference's ubiquitous
     Conv→BN→ReLU unit (e.g. ``unet_parts.py:93-103``), fused by XLA on TPU."""
@@ -54,17 +80,22 @@ class ConvBN(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=pad,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias or not self.use_bn,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if (self.kernel == (3, 3) and self.strides == (1, 1)
+                and self.groups == 1 and pad == [(1, 1), (1, 1)]):
+            x = Conv3x3(self.features, use_bias=self.use_bias or not self.use_bn,
+                        dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=pad,
+                feature_group_count=self.groups,
+                use_bias=self.use_bias or not self.use_bn,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -1,0 +1,177 @@
+"""Packed-domain decoder building blocks (flax layer over the fused engine).
+
+These modules execute the same math as ``ConvBN`` chains (conv3x3 + BatchNorm
++ ReLU, ``models/layers.py``; reference ``unet_parts.py:93-103``) but in the
+packed-halo dataflow of ``ops/pallas/packed_chain.py``: conv outputs are
+stored raw (pre-BN), BatchNorm + ReLU travel as pending per-channel affine
+vectors applied in the *consumer* kernel's prologue, and concatenation never
+materializes (multi-input kernels). Parameter/variable trees are IDENTICAL
+to the unfused modules (``conv/kernel``, ``bn/{scale,bias}`` params and
+``bn/{mean,var}`` batch stats), so checkpoints are interchangeable between
+the packed and standard execution paths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from mmr_tpu.ops.pallas.conv3x3_packed import _toeplitz
+from mmr_tpu.ops.pallas import packed_chain as pc
+
+
+@struct.dataclass
+class PackedT:
+    """A packed-halo tensor plus its pending (BN+ReLU) prologue.
+
+    ``data`` is raw/pre-BN; ``pro`` is per-channel (2, C) f32 (scale, shift)
+    to be applied (with ReLU) by whichever kernel consumes it, or None.
+    """
+
+    data: jnp.ndarray
+    pro: Optional[jnp.ndarray]
+    c: int = struct.field(pytree_node=False)
+    geom: pc.RowGeom = struct.field(pytree_node=False)
+
+    def unpack(self):
+        x = pc.from_packed(self.data, self.geom, self.c)
+        if self.pro is not None:
+            s = self.pro[0].astype(x.dtype)
+            t = self.pro[1].astype(x.dtype)
+            x = jnp.maximum(x * s + t, 0)
+        return x
+
+
+def pack_plain(x, main_c: int | None = None) -> PackedT:
+    """Pack an already-activated NHWC tensor (e.g. an encoder feature).
+    ``main_c`` hints the row's working channel width (its node out_ch)."""
+    g = pc.row_geom(x.shape[1], x.shape[2], main_c or x.shape[-1])
+    assert g is not None, f"no packing geometry for {x.shape}"
+    return PackedT(pc.to_packed(x, g), None, x.shape[-1], g)
+
+
+def _pro_lanes(pro_c, p: int, cp: int):
+    """(2, C) per-channel prologue -> (2, p*cp) per-lane vectors."""
+    pad = cp - pro_c.shape[1]
+    return jnp.concatenate(
+        [jnp.tile(jnp.pad(pro_c[0], (0, pad)), p)[None],
+         jnp.tile(jnp.pad(pro_c[1], (0, pad)), p)[None]], axis=0)
+
+
+class _Kernel3x3(nn.Module):
+    """Registers the (3,3,Cin,Cout) kernel (+ optional bias) params exactly
+    like nn.Conv — instantiated with name='conv' for checkpoint
+    compatibility."""
+
+    cin: int
+    cout: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.cin, self.cout), jnp.float32)
+        if not self.use_bias:
+            return k, None
+        return k, self.param("bias", nn.initializers.zeros_init(),
+                             (self.cout,), jnp.float32)
+
+
+class DeferredBN(nn.Module):
+    """BatchNorm over a packed conv's emitted moments. Params/variables
+    mirror ``nn.BatchNorm`` (momentum 0.9, eps 1e-5, biased variance)."""
+
+    ch: int
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, moments, count: int, p: int, cop: int,
+                 train: bool = False):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.ch,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.ch,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.ch,), jnp.float32))
+        if train and moments is not None:
+            mean, var = pc.moments_to_stats(moments, count, p, cop, self.ch)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * jax.lax.stop_gradient(mean)
+                ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        s = scale * jax.lax.rsqrt(var + self.eps)
+        t = bias - mean * s
+        return jnp.stack([s, t]).astype(jnp.float32)  # (2, C)
+
+
+class PackedConvBN(nn.Module):
+    """conv3x3 over (the concat of) packed inputs, + deferred BatchNorm.
+
+    Equivalent to ``ConvBN(out_ch)(concat(inputs))`` with the BN + ReLU
+    deferred into downstream prologues. ``use_bn=False`` gives a plain
+    conv+bias (segmentation-head flavour) returning an immediately-final
+    tensor (pro=None).
+    """
+
+    out_ch: int
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[PackedT], train: bool = False) -> PackedT:
+        g = inputs[0].geom
+        cin_total = sum(t.c for t in inputs)
+        kernel, b = _Kernel3x3(cin_total, self.out_ch,
+                               use_bias=not self.use_bn, name="conv")()
+        cop = g.cp(self.out_ch)
+        emit = bool(train and self.use_bn)
+        bias_l = None if b is None else pc.bias_lanes(b, g.p, cop)
+
+        if self.is_initializing():
+            # registration-only pass: params above are created; skip the
+            # kernel launch (keeps init cheap and device-agnostic)
+            n_b = inputs[0].data.shape[0]
+            y = jnp.zeros((n_b, g.h + 2, g.wbp, g.lanes(self.out_ch)),
+                          jnp.bfloat16)
+            mom = jnp.zeros((2, g.lanes(self.out_ch)), jnp.float32) if emit else None
+        else:
+            tees, pros, datas = [], [], []
+            off = 0
+            for t in inputs:
+                w_j = jax.lax.slice_in_dim(kernel, off, off + t.c, axis=2)
+                off += t.c
+                tees.append(_toeplitz(w_j, g.p, g.cp(t.c), cop))
+                pros.append(None if t.pro is None
+                            else _pro_lanes(t.pro, g.p, g.cp(t.c)))
+                datas.append(t.data)
+            cfg = pc.FusedCfg(
+                geom=g,
+                l_list=tuple(g.lanes(t.c) for t in inputs),
+                lo=g.lanes(self.out_ch),
+                pro_mask=tuple(p is not None for p in pros),
+                has_bias=not self.use_bn,
+                emit_moments=emit)
+            y, mom = pc.fused_conv(cfg, tuple(datas), tuple(tees),
+                                   tuple(pros), bias_l)
+
+        if not self.use_bn:
+            return PackedT(y, None, self.out_ch, g)
+        n_b = inputs[0].data.shape[0]
+        pro = DeferredBN(self.out_ch, name="bn")(
+            mom, n_b * g.h * g.w, g.p, cop, train)
+        return PackedT(y, pro, self.out_ch, g)
+
+
+def upsample_packed(t: PackedT, g_dst: pc.RowGeom) -> PackedT:
+    """Nearest x2 upsample into the destination row's geometry; the pending
+    prologue commutes (elementwise)."""
+    data = pc.upsample2x_packed(t.data, t.geom, t.c, g_dst)
+    return PackedT(data, t.pro, t.c, g_dst)

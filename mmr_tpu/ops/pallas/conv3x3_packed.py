@@ -80,15 +80,18 @@ def plan(h: int, w: int, cin: int, cout: int) -> dict | None:
         cop = _round_up(cout, unit)
         l, lo = p * cp, p * cop
         wb = w // p
-        if wb < 2:
+        # Mosaic alignment: DMA/compute slices along the W-block (sublane)
+        # dim must be multiples of 8
+        if wb < 8 or wb % 8:
             continue
+        wbp = _round_up(wb + 2, 8)  # padded sublane extent of the packed array
         waste = (cp / cin) * (cop / cout) * p
         # row tile: prefer the largest that divides H and fits in VMEM
         th = None
         for cand in (64, 32, 16, 8, 4):
             if h % cand:
                 continue
-            vmem = (2 * (cand + 2) * (wb + 2) * l * 2      # double-buffered xt
+            vmem = (2 * (cand + 2) * wbp * l * 2           # double-buffered xt
                     + cand * wb * lo * (4 + 2)             # acc f32 + out bf16
                     + 9 * l * lo * 2)                      # Toeplitz weights
             if vmem <= _VMEM_BUDGET:
@@ -99,19 +102,20 @@ def plan(h: int, w: int, cin: int, cout: int) -> dict | None:
         key = (waste, p)
         if best is None or key < best[0]:
             best = (key, {"p": p, "cp": cp, "cop": cop, "l": l, "lo": lo,
-                          "th": th, "wb": wb})
+                          "th": th, "wb": wb, "wbp": wbp})
     return None if best is None else best[1]
 
 
 # ------------------------------------------------------------ pack / unpack
 
-def _pack(x, p: int, cp: int):
-    """(B,H,W,C) -> (B, H+2, W/p + 2, p*cp) bf16 with zero halos."""
+def _pack(x, p: int, cp: int, wbp: int):
+    """(B,H,W,C) -> (B, H+2, wbp, p*cp) bf16: zero halo row/block plus right
+    padding to a multiple-of-8 W-block (sublane) extent (Mosaic DMA rule)."""
     b, h, w, c = x.shape
     x = jnp.pad(x.astype(jnp.bfloat16),
                 [(0, 0), (1, 1), (0, 0), (0, cp - c)])
     x = x.reshape(b, h + 2, w // p, p * cp)
-    return jnp.pad(x, [(0, 0), (0, 0), (1, 1), (0, 0)])
+    return jnp.pad(x, [(0, 0), (0, 0), (1, wbp - w // p - 1), (0, 0)])
 
 
 def _unpack(y, w: int, cout: int, p: int, cop: int):
@@ -241,9 +245,10 @@ def _conv_packed(x, w3, bias, relu: bool):
     cout = w3.shape[-1]
     pln = plan(h, wdt, cin, cout)
     assert pln is not None, f"no packed plan for {x.shape}->{cout}"
-    p, cp, cop, l, lo, th, wb = (pln[k] for k in
-                                 ("p", "cp", "cop", "l", "lo", "th", "wb"))
-    xp = _pack(x, p, cp)
+    p, cp, cop, l, lo, th, wb, wbp = (pln[k] for k in
+                                      ("p", "cp", "cop", "l", "lo", "th",
+                                       "wb", "wbp"))
+    xp = _pack(x, p, cp, wbp)
     t = _toeplitz(w3, p, cp, cop)
     bias_l = jnp.tile(
         jnp.pad(bias.astype(jnp.float32), (0, cop - cout)), p)[None, :]
@@ -264,7 +269,7 @@ def _conv_packed(x, w3, bias, relu: bool):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wb, lo), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wb + 2, l), jnp.bfloat16),
+            pltpu.VMEM((2, th + 2, wbp, l), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -282,9 +287,10 @@ def _conv_packed_dw(x, g):
     cout = g.shape[-1]
     pln = plan(h, wdt, cin, cout)
     assert pln is not None
-    p, cp, cop, l, lo, th, wb = (pln[k] for k in
-                                 ("p", "cp", "cop", "l", "lo", "th", "wb"))
-    xp = _pack(x, p, cp)
+    p, cp, cop, l, lo, th, wb, wbp = (pln[k] for k in
+                                      ("p", "cp", "cop", "l", "lo", "th",
+                                       "wb", "wbp"))
+    xp = _pack(x, p, cp, wbp)
     gp = _pack_nohalo(g, p, cop)
     n_i = h // th
 
@@ -300,7 +306,7 @@ def _conv_packed_dw(x, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 3, l, lo), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wb + 2, l), jnp.bfloat16),
+            pltpu.VMEM((2, th + 2, wbp, l), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_INTERPRET,
@@ -322,11 +328,13 @@ def _lax_conv(x, w, bias, relu):
 
 
 def _dispatch_packed(x, w) -> bool:
+    pln_ok = plan(x.shape[1], x.shape[2], x.shape[3], w.shape[-1]) is not None
     if _FORCE is not None:
-        return _FORCE and plan(x.shape[1], x.shape[2], x.shape[3],
-                               w.shape[-1]) is not None
+        return _FORCE and pln_ok
     if jax.default_backend() not in ("tpu", "axon"):
         return False
+    if x.dtype != jnp.bfloat16:
+        return False  # the kernel computes in bf16; keep f32 runs exact
     b, h, wdt, cin = x.shape
     cout = w.shape[-1]
     pln = plan(h, wdt, cin, cout)
@@ -337,22 +345,23 @@ def _dispatch_packed(x, w) -> bool:
     return use_packed(h, wdt, cin, cout, pln)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv3x3p_bias_act(x, w, bias, relu: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3p_bias_act(x, w, bias, relu: bool = False, has_bias: bool = True):
     """3x3 stride-1 SAME conv + bias (+ ReLU), NHWC/HWIO; dispatches to the
     packed-lane Pallas kernel on TPU when the autotuned table (or heuristic)
-    says it wins, else ``lax.conv_general_dilated``."""
+    says it wins, else ``lax.conv_general_dilated``. ``has_bias=False`` skips
+    the dbias reduction in the VJP (``bias`` must then be zeros)."""
     if _dispatch_packed(x, w):
         return _conv_packed(x, w, bias, relu)
     return _lax_conv(x, w, bias, relu)
 
 
-def _fwd(x, w, bias, relu):
-    y = conv3x3p_bias_act(x, w, bias, relu)
+def _fwd(x, w, bias, relu, has_bias):
+    y = conv3x3p_bias_act(x, w, bias, relu, has_bias)
     return y, (x, w, y if relu else None)
 
 
-def _bwd(relu, res, g):
+def _bwd(relu, has_bias, res, g):
     x, w, y_for_relu = res
     g = g.astype(jnp.float32)
     if y_for_relu is not None:
@@ -371,7 +380,8 @@ def _bwd(relu, res, g):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         ).transpose(1, 2, 0, 3)
-    dbias = g.sum(axis=(0, 1, 2))
+    dbias = (g.sum(axis=(0, 1, 2)) if has_bias
+             else jnp.zeros((w.shape[-1],), jnp.float32))
     return dx.astype(x.dtype), dw.astype(w.dtype), dbias
 
 

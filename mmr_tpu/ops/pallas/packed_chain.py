@@ -1,0 +1,642 @@
+"""Packed-domain fused conv engine — the round-2 decoder dataflow.
+
+Motivation (measured on the bench chip, see benchmarks/ablate_kernel.py):
+streaming HBM bandwidth is ~167-235 GB/s and bf16 matmul ~41 TFLOP/s, so the
+UNet-family decoder is memory-bound and the only wins left are *eliminating
+memory passes*. In the reference execution model every grid node costs
+concat + conv(+im2col) + BN (multi-pass) + ReLU + conv + BN + ReLU passes
+over HBM. Here the whole decoder lives in a *packed-halo* tensor format and
+each node is exactly two kernel launches whose HBM traffic is its inputs
+read once and its output written once:
+
+- **Packed-halo format**: NHWC reshaped to (B, H+2, wbp, p*cp) where p
+  consecutive pixels x cp (channel-padded) channels fill whole 128-lane
+  tiles, with one zero halo row (H) and one zero halo block (W) baked in so
+  chained kernels never repad (``conv3x3_packed.py`` explains the Toeplitz
+  formulation; this module extends it).
+- **Multi-input**: a node's concat inputs are separate operands, each with
+  its own block-Toeplitz taps, accumulated into one output — concat never
+  materializes.
+- **Prologue**: per-input optional (scale, shift, relu) applied in VMEM
+  right after the DMA — this is how the *previous* conv's BatchNorm + ReLU
+  are applied without ever writing a normalized copy to HBM (BN statistics
+  travel as per-channel vectors; conv outputs are stored raw/pre-BN).
+- **Moments**: the kernel emits per-lane (sum y, sum y^2) accumulated over
+  the grid, from which the BN statistics of the *produced* tensor are
+  computed host^W XLA-side at vector cost.
+- **Backward**: ONE kernel per node-conv computes dx for every input, dT
+  (folded to dW outside), d(scale)/d(shift), and applies the d(moments)
+  correction (dy_eff = dy + dm0 + 2 y dm1) in its prologue — reading dy, y
+  and each x once, writing each dx once.
+
+Reference behavior anchor: this runs the same math as the reference's
+Conv2d(3,3)+BN+ReLU decoder blocks (``unet_parts.py:93-103``, smp UNet++
+decoder via ``Main_MMR_SegModel.py:589``); numerics are bf16 with f32
+accumulation (flax ``nn.Conv(dtype=bf16)`` contract). BN statistics use
+flax ``nn.BatchNorm`` semantics (biased variance, momentum 0.9).
+
+Interpreter mode (`_INTERPRET=True`) runs everything on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmr_tpu.ops.pallas.conv3x3_packed import (
+    _round_up,
+    _tap_slots,
+    _toeplitz,
+    _fold_toeplitz_grad,
+)
+
+_INTERPRET = False
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+# ----------------------------------------------------------------- geometry
+
+@dataclasses.dataclass(frozen=True)
+class RowGeom:
+    """Shared packing geometry for all tensors at one resolution."""
+
+    h: int
+    w: int
+    p: int
+    wb: int
+    wbp: int
+
+    def cp(self, c: int) -> int:
+        return _round_up(c, 128 // self.p)
+
+    def lanes(self, c: int) -> int:
+        return self.p * self.cp(c)
+
+
+@functools.lru_cache(maxsize=None)
+def row_geom(h: int, w: int, main_c: int = 16) -> RowGeom | None:
+    """Choose the packing factor p for a resolution. p ~ 128/main_c keeps a
+    row's typical tensor at ~128 lanes, which bounds both channel-padding
+    waste (small C) and the Toeplitz tap matrices' VMEM footprint
+    (T is (3,3,pC,pCo) — it grows with p^2 for large C)."""
+    p0 = 8
+    while p0 > 1 and p0 * main_c > 128:
+        p0 //= 2
+    for p in (p0, p0 * 2 if p0 * 2 <= 8 else p0, 8, 4, 2, 1):
+        if 128 % p or w % p:
+            continue
+        wb = w // p
+        if wb >= 8 and wb % 8 == 0:
+            return RowGeom(h, w, p, wb, _round_up(wb + 2, 8))
+    return None
+
+
+def choose_th(h: int, vmem_cost_fn) -> int | None:
+    for cand in (64, 32, 16, 8, 4, 2):
+        if h % cand:
+            continue
+        if vmem_cost_fn(cand) <= _VMEM_BUDGET:
+            return cand
+    return None
+
+
+# ------------------------------------------------------------- pack helpers
+
+def to_packed(x, g: RowGeom):
+    """(B,H,W,C) -> packed-halo (B, H+2, wbp, p*cp) bf16."""
+    b, h, w, c = x.shape
+    cp = g.cp(c)
+    x = jnp.pad(x.astype(jnp.bfloat16), [(0, 0), (1, 1), (0, 0), (0, cp - c)])
+    x = x.reshape(b, h + 2, g.wb, g.p * cp)
+    return jnp.pad(x, [(0, 0), (0, 0), (1, g.wbp - g.wb - 1), (0, 0)])
+
+
+def from_packed(xp, g: RowGeom, c: int):
+    """packed-halo -> (B,H,W,C)."""
+    b = xp.shape[0]
+    cp = g.cp(c)
+    y = xp[:, 1:-1, 1:g.wb + 1, :]
+    y = y.reshape(b, g.h, g.w, cp)
+    return y[..., :c]
+
+
+def upsample2x_packed(xp, g_src: RowGeom, c: int, g_dst: RowGeom):
+    """Nearest x2 upsample between packed rows (unpack->dup->repack, one
+    fused XLA chain; elementwise prologues commute with nearest upsampling
+    so pending BN/ReLU can still be applied by the consumer)."""
+    x = from_packed(xp, g_src, c)
+    b, h, w, _ = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    x = x.reshape(b, 2 * h, 2 * w, c)
+    return to_packed(x, g_dst)
+
+
+# ------------------------------------------------------------------ kernels
+
+def _halo_mask(i, th, wb, wbp, n_i):
+    """Validity mask (th+2, wbp, 1) for a row tile at grid position i: False
+    at the image's zero-halo rows/blocks (where prologue shifts must not
+    manufacture nonzeros — SAME padding is zeros *after* BN+ReLU)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wbp, 1), 0) + i * th
+    blocks = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wbp, 1), 1)
+    return ((rows >= 1) & (rows <= n_i * th)
+            & (blocks >= 1) & (blocks <= wb))
+
+
+def _prologue(tile, pro_ref, valid):
+    """relu(tile * s + t) with per-lane (2, L) f32 prologue vectors, zeroed
+    outside the image interior."""
+    s = pro_ref[0][None, None, :]
+    t = pro_ref[1][None, None, :]
+    v = jnp.maximum(tile.astype(jnp.float32) * s + t, 0.0)
+    return jnp.where(valid, v, 0.0).astype(jnp.bfloat16)
+
+
+def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
+                      emit_moments, n_b):
+    """refs layout: [x_0..x_{J-1}] [T_0..T_{J-1}] [pro_j for j in pro_mask]
+    [bias?] -> outs [y, moments?] then scratch [xt_0.., ystage, insem(J,2),
+    outsem(2)]."""
+    wb, wbp = geom.wb, geom.wbp
+    nj = len(l_list)
+    xs = refs[:nj]
+    ts = refs[nj:2 * nj]
+    idx = 2 * nj
+    pros = {}
+    for j, m in enumerate(pro_mask):
+        if m:
+            pros[j] = refs[idx]
+            idx += 1
+    bias = refs[idx] if has_bias else None
+    idx += int(has_bias)
+    y_hbm = refs[idx]
+    idx += 1
+    mom = refs[idx] if emit_moments else None
+    idx += int(emit_moments)
+    xts = refs[idx:idx + nj]
+    idx += nj
+    ystage = refs[idx]
+    zstage = refs[idx + 1]
+    insem = refs[idx + 2]
+    outsem = refs[idx + 3]
+    halosem = refs[idx + 4]
+
+    b, i = pl.program_id(0), pl.program_id(1)
+    k = b * n_i + i
+    total = n_b * n_i
+
+    def in_dma(j, slot, kk):
+        bb, ii = kk // n_i, kk % n_i
+        return pltpu.make_async_copy(
+            xs[j].at[bb, pl.ds(ii * th, th + 2)], xts[j].at[slot],
+            insem.at[j, slot])
+
+    @pl.when(k == 0)
+    def _():
+        for j in range(nj):
+            in_dma(j, 0, 0).start()
+        if emit_moments:
+            mom[:] = jnp.zeros_like(mom)
+        zstage[:] = jnp.zeros_like(zstage)
+
+    @pl.when(k + 1 < total)
+    def _():
+        for j in range(nj):
+            in_dma(j, (k + 1) % 2, k + 1).start()
+
+    # zero the output's top/bottom halo rows once per batch image (W-halo
+    # blocks are zeroed in the staging pad below)
+    @pl.when(i == 0)
+    def _():
+        top = pltpu.make_async_copy(zstage, y_hbm.at[b, pl.ds(0, 1)],
+                                    halosem.at[0])
+        bot = pltpu.make_async_copy(
+            zstage, y_hbm.at[b, pl.ds(n_i * th + 1, 1)], halosem.at[1])
+        top.start()
+        bot.start()
+        top.wait()
+        bot.wait()
+
+    valid = _halo_mask(i, th, wb, wbp, n_i) if any(pro_mask) else None
+    acc = jnp.zeros((th, wb, lo), jnp.float32)
+    for j in range(nj):
+        in_dma(j, k % 2, k).wait()
+        tile = xts[j][k % 2]
+        if j in pros:
+            tile = _prologue(tile, pros[j], valid)
+        for dy in range(3):
+            for dwb in range(3):
+                acc += jax.lax.dot_general(
+                    tile[dy:dy + th, dwb:dwb + wb, :], ts[j][dy, dwb],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    if has_bias:
+        acc = acc + bias[0][None, None, :]
+    if emit_moments:
+        mom[0, :] += jnp.sum(acc, axis=(0, 1))
+        mom[1, :] += jnp.sum(acc * acc, axis=(0, 1))
+
+    # stage the output with its W halo re-zeroed, then DMA to rows
+    # [1 + i*th, 1 + i*th + th) of the halo'd output
+    slot = k % 2
+
+    @pl.when(k >= 2)
+    def _():
+        _wait_copy(ystage.at[slot], outsem.at[slot])
+
+    ystage[slot] = jnp.pad(
+        acc.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+    pltpu.make_async_copy(
+        ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
+        outsem.at[slot]).start()
+
+    @pl.when(k + 1 == total)
+    def _():
+        _wait_copy(ystage.at[slot], outsem.at[slot])
+        if total > 1:
+            _wait_copy(ystage.at[1 - slot], outsem.at[1 - slot])
+
+
+def _wait_copy(stage_ref, sem):
+    pltpu.make_async_copy(stage_ref, stage_ref, sem).wait()
+
+
+def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
+                      has_bias, emit_moments, n_b):
+    """refs: [dy, y?] [x_0..] [Tt_0..] [pro_j..] [dm?]
+    outs: [dx_0..] [dT_0..] [dpro_j..] [dbias?]
+    scratch: [dyt, yt?, xt_0.., dxstage_0.., zstage, insem, outsem,
+    halosem]."""
+    wb, wbp = geom.wb, geom.wbp
+    nj = len(l_list)
+    r = list(refs)
+    dy_hbm = r.pop(0)
+    y_hbm = r.pop(0) if emit_moments else None
+    xs = [r.pop(0) for _ in range(nj)]
+    tts = [r.pop(0) for _ in range(nj)]
+    pros = {}
+    for j, m in enumerate(pro_mask):
+        if m:
+            pros[j] = r.pop(0)
+    dm = r.pop(0) if emit_moments else None
+    # outputs
+    dxs = [r.pop(0) for _ in range(nj)]
+    dts = [r.pop(0) for _ in range(nj)]
+    dpros = {}
+    for j, m in enumerate(pro_mask):
+        if m:
+            dpros[j] = r.pop(0)
+    dbias = r.pop(0) if has_bias else None
+    # scratch
+    dyt = r.pop(0)
+    yt = r.pop(0) if emit_moments else None
+    xts = [r.pop(0) for _ in range(nj)]
+    dxstages = [r.pop(0) for _ in range(nj)]
+    zstages = [r.pop(0) for _ in range(nj)]
+    insem = r.pop(0)
+    outsem = r.pop(0)
+    halosem = r.pop(0)
+
+    b, i = pl.program_id(0), pl.program_id(1)
+    k = b * n_i + i
+    total = n_b * n_i
+
+    def dma_in(src, dst, sem_slot, slot, kk):
+        bb, ii = kk // n_i, kk % n_i
+        return pltpu.make_async_copy(
+            src.at[bb, pl.ds(ii * th, th + 2)], dst.at[slot],
+            insem.at[sem_slot, slot])
+
+    def start_all(slot, kk):
+        dma_in(dy_hbm, dyt, 0, slot, kk).start()
+        if emit_moments:
+            dma_in(y_hbm, yt, 1, slot, kk).start()
+        for j in range(nj):
+            dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, kk).start()
+
+    @pl.when(k == 0)
+    def _():
+        start_all(0, 0)
+        for j in range(nj):
+            dts[j][:] = jnp.zeros_like(dts[j])
+            if j in dpros:
+                dpros[j][:] = jnp.zeros_like(dpros[j])
+            zstages[j][:] = jnp.zeros_like(zstages[j])
+        if has_bias:
+            dbias[:] = jnp.zeros_like(dbias)
+
+    @pl.when(k + 1 < total)
+    def _():
+        start_all((k + 1) % 2, k + 1)
+
+    # zero dx halo rows once per image
+    @pl.when(i == 0)
+    def _():
+        for j in range(nj):
+            top = pltpu.make_async_copy(
+                zstages[j], dxs[j].at[b, pl.ds(0, 1)], halosem.at[j, 0])
+            bot = pltpu.make_async_copy(
+                zstages[j], dxs[j].at[b, pl.ds(n_i * th + 1, 1)],
+                halosem.at[j, 1])
+            top.start()
+            bot.start()
+            top.wait()
+            bot.wait()
+
+    slot = k % 2
+    valid = _halo_mask(i, th, wb, wbp, n_i)
+    dma_in(dy_hbm, dyt, 0, slot, k).wait()
+    dy_tile = dyt[slot].astype(jnp.float32)  # (th+2, wbp, lo), halo'd
+    if emit_moments:
+        dma_in(y_hbm, yt, 1, slot, k).wait()
+        corrected = dy_tile + dm[0][None, None, :] \
+            + 2.0 * yt[slot].astype(jnp.float32) * dm[1][None, None, :]
+        # dm0 would leak into halo/pad positions (where dy == y == 0); mask
+        # the correction to image-interior positions
+        dy_tile = jnp.where(valid, corrected, 0.0)
+    dy_bf = dy_tile.astype(jnp.bfloat16)
+    dy_interior = dy_tile[1:1 + th, 1:1 + wb, :]
+    if has_bias:
+        dbias[0, :] += jnp.sum(dy_interior, axis=(0, 1))
+
+    for j in range(nj):
+        dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, k).wait()
+        x_tile = xts[j][slot]
+        if j in pros:
+            a_tile = _prologue(x_tile, pros[j], valid)
+        else:
+            a_tile = x_tile
+        # dW: dT[dy,dwb] += a_view^T @ dy_interior
+        for dyy in range(3):
+            for dwb in range(3):
+                dts[j][dyy, dwb] += jax.lax.dot_general(
+                    a_tile[dyy:dyy + th, dwb:dwb + wb, :],
+                    dy_interior.astype(jnp.bfloat16),
+                    (((0, 1), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        # dx: with T'[d] = T[-d]^T the taps read the halo'd dy tile exactly
+        # like the forward reads x
+        ga = jnp.zeros((th, wb, l_list[j]), jnp.float32)
+        for dyy in range(3):
+            for dwb in range(3):
+                ga += jax.lax.dot_general(
+                    dy_bf[dyy:dyy + th, dwb:dwb + wb, :], tts[j][dyy, dwb],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        if j in pros:
+            xi = x_tile[1:1 + th, 1:1 + wb, :].astype(jnp.float32)
+            s = pros[j][0][None, None, :]
+            t = pros[j][1][None, None, :]
+            mask = (xi * s + t > 0.0).astype(jnp.float32)
+            gm = ga * mask
+            dpros[j][0, :] += jnp.sum(gm * xi, axis=(0, 1))
+            dpros[j][1, :] += jnp.sum(gm, axis=(0, 1))
+            ga = gm * s
+
+        @pl.when(k >= 2)
+        def _():
+            _wait_copy(dxstages[j].at[slot], outsem.at[j, slot])
+
+        dxstages[j][slot] = jnp.pad(
+            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+        pltpu.make_async_copy(
+            dxstages[j].at[slot], dxs[j].at[b, pl.ds(i * th + 1, th)],
+            outsem.at[j, slot]).start()
+
+    @pl.when(k + 1 == total)
+    def _():
+        for j in range(nj):
+            _wait_copy(dxstages[j].at[slot], outsem.at[j, slot])
+            if total > 1:
+                _wait_copy(dxstages[j].at[1 - slot], outsem.at[j, 1 - slot])
+
+
+# ---------------------------------------------------------------- drivers
+
+@dataclasses.dataclass(frozen=True)
+class FusedCfg:
+    """Static configuration of one fused packed conv (hashable)."""
+
+    geom: RowGeom
+    l_list: tuple          # lanes per input
+    lo: int                # output lanes
+    pro_mask: tuple        # bool per input: has (scale, shift, relu) prologue
+    has_bias: bool
+    emit_moments: bool
+
+    def th(self, backward: bool) -> int:
+        g = self.geom
+
+        def cost(th):
+            tiles = sum(2 * (th + 2) * g.wbp * l * 2 for l in self.l_list)
+            tees = sum(9 * l * self.lo * 2 for l in self.l_list)
+            acc = th * g.wb * self.lo * 4
+            stage = 2 * th * g.wbp * self.lo * 2 + g.wbp * self.lo * 2
+            if backward:
+                tiles += 2 * (th + 2) * g.wbp * self.lo * 2 * (
+                    1 + int(self.emit_moments))
+                tees *= 2
+                dts = sum(9 * l * self.lo * 4 for l in self.l_list)
+                acc = th * g.wb * max(self.l_list) * 4 + th * g.wb * self.lo * 4
+                stage = sum(2 * th * g.wbp * l * 2 + g.wbp * l * 2
+                            for l in self.l_list)
+                return tiles + tees + dts + acc + stage
+            return tiles + tees + acc + stage
+
+        th = choose_th(g.h, cost)
+        assert th, f"no feasible row tile for {self}"
+        return th
+
+
+def _fwd_call(cfg: FusedCfg, inputs, tees, pros, bias):
+    g = cfg.geom
+    nj = len(inputs)
+    th = cfg.th(backward=False)
+    n_i = g.h // th
+    n_b = inputs[0].shape[0]
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nj
+    in_specs += [const((3, 3, l, cfg.lo)) for l in cfg.l_list]
+    args = list(inputs) + [t.astype(jnp.bfloat16) for t in tees]
+    for j, m in enumerate(cfg.pro_mask):
+        if m:
+            in_specs.append(const((2, cfg.l_list[j])))
+            args.append(pros[j].astype(jnp.float32))
+    if cfg.has_bias:
+        in_specs.append(const((1, cfg.lo)))
+        args.append(bias.astype(jnp.float32))
+
+    out_shape = [jax.ShapeDtypeStruct((n_b, g.h + 2, g.wbp, cfg.lo),
+                                      jnp.bfloat16)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if cfg.emit_moments:
+        out_shape.append(jax.ShapeDtypeStruct((2, cfg.lo), jnp.float32))
+        out_specs.append(const((2, cfg.lo)))
+
+    scratch = [pltpu.VMEM((2, th + 2, g.wbp, l), jnp.bfloat16)
+               for l in cfg.l_list]
+    scratch += [
+        pltpu.VMEM((2, th, g.wbp, cfg.lo), jnp.bfloat16),   # ystage
+        pltpu.VMEM((1, g.wbp, cfg.lo), jnp.bfloat16),       # zstage
+        pltpu.SemaphoreType.DMA((nj, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(
+            _fused_fwd_kernel, th=th, n_i=n_i, geom=g,
+            l_list=cfg.l_list, lo=cfg.lo, pro_mask=cfg.pro_mask,
+            has_bias=cfg.has_bias, emit_moments=cfg.emit_moments, n_b=n_b),
+        grid=(n_b, n_i),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(*args)
+    if cfg.emit_moments:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
+    g = cfg.geom
+    nj = len(inputs)
+    th = cfg.th(backward=True)
+    n_i = g.h // th
+    n_b = inputs[0].shape[0]
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    tts = [jnp.flip(t, axis=(0, 1)).swapaxes(2, 3).astype(jnp.bfloat16)
+           for t in tees]
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    args = [dy]
+    if cfg.emit_moments:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(y)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * nj
+    args += list(inputs)
+    in_specs += [const((3, 3, cfg.lo, l)) for l in cfg.l_list]
+    args += tts
+    for j, m in enumerate(cfg.pro_mask):
+        if m:
+            in_specs.append(const((2, cfg.l_list[j])))
+            args.append(pros[j].astype(jnp.float32))
+    if cfg.emit_moments:
+        in_specs.append(const((2, cfg.lo)))
+        args.append(dmom.astype(jnp.float32))
+
+    out_shape = [jax.ShapeDtypeStruct((n_b, g.h + 2, g.wbp, l), jnp.bfloat16)
+                 for l in cfg.l_list]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nj
+    for l in cfg.l_list:
+        out_shape.append(jax.ShapeDtypeStruct((3, 3, l, cfg.lo), jnp.float32))
+        out_specs.append(const((3, 3, l, cfg.lo)))
+    for j, m in enumerate(cfg.pro_mask):
+        if m:
+            out_shape.append(jax.ShapeDtypeStruct((2, cfg.l_list[j]),
+                                                  jnp.float32))
+            out_specs.append(const((2, cfg.l_list[j])))
+    if cfg.has_bias:
+        out_shape.append(jax.ShapeDtypeStruct((1, cfg.lo), jnp.float32))
+        out_specs.append(const((1, cfg.lo)))
+
+    scratch = [pltpu.VMEM((2, th + 2, g.wbp, cfg.lo), jnp.bfloat16)]  # dyt
+    if cfg.emit_moments:
+        scratch.append(pltpu.VMEM((2, th + 2, g.wbp, cfg.lo), jnp.bfloat16))
+    scratch += [pltpu.VMEM((2, th + 2, g.wbp, l), jnp.bfloat16)
+                for l in cfg.l_list]
+    scratch += [pltpu.VMEM((2, th, g.wbp, l), jnp.bfloat16)
+                for l in cfg.l_list]
+    scratch += [pltpu.VMEM((1, g.wbp, l), jnp.bfloat16) for l in cfg.l_list]
+    scratch += [
+        pltpu.SemaphoreType.DMA((nj + 1 + int(cfg.emit_moments), 2)),
+        pltpu.SemaphoreType.DMA((nj, 2)),
+        pltpu.SemaphoreType.DMA((nj, 2)),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, th=th, n_i=n_i, geom=g,
+            l_list=cfg.l_list, lo=cfg.lo, pro_mask=cfg.pro_mask,
+            has_bias=cfg.has_bias, emit_moments=cfg.emit_moments, n_b=n_b),
+        grid=(n_b, n_i),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(*args)
+    outs = list(outs)
+    dxs = tuple(outs[:nj])
+    dts = tuple(outs[nj:2 * nj])
+    rest = outs[2 * nj:]
+    dpros = []
+    for m in cfg.pro_mask:
+        dpros.append(rest.pop(0) if m else None)
+    dbias = rest.pop(0) if cfg.has_bias else None
+    return dxs, dts, tuple(dpros), dbias
+
+
+# ------------------------------------------------------------ the primitive
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_conv(cfg: FusedCfg, inputs, tees, pros, bias):
+    """Multi-input fused packed conv. All array args are pytrees (tuples);
+    ``pros[j]`` is a (2, L_j) f32 (scale, shift) pair or None; ``bias`` is
+    (1, Lo) f32 or None. Returns ``(y_packed_halo, moments_or_None)``."""
+    return _fwd_call(cfg, inputs, tees, pros, bias)
+
+
+def _fused_conv_fwd(cfg, inputs, tees, pros, bias):
+    y, mom = _fwd_call(cfg, inputs, tees, pros, bias)
+    return (y, mom), (inputs, tees, pros, y)
+
+
+def _fused_conv_bwd(cfg, res, cot):
+    inputs, tees, pros, y = res
+    dy, dmom = cot
+    if cfg.emit_moments and dmom is None:
+        dmom = jnp.zeros((2, cfg.lo), jnp.float32)
+    dxs, dts, dpros, dbias = _bwd_call(cfg, inputs, tees, pros, y, dy, dmom)
+    return dxs, dts, dpros, dbias
+
+
+fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
+
+
+# ------------------------------------------------------- BN-over-lanes math
+
+def moments_to_stats(mom, count: int, p: int, cop: int, cout: int):
+    """Per-lane (sum, sum sq) -> per-channel (mean, biased var) — flax
+    ``nn.BatchNorm`` statistics semantics."""
+    m0 = mom[0].reshape(p, cop).sum(0)[:cout] / count
+    m1 = mom[1].reshape(p, cop).sum(0)[:cout] / count
+    return m0, jnp.maximum(m1 - m0 * m0, 0.0)
+
+
+def bn_affine_lanes(gamma, beta, mean, var, eps: float, p: int, cop: int):
+    """Fold BN into a per-lane (scale, shift) prologue pair (2, p*cop)."""
+    s = gamma * jax.lax.rsqrt(var + eps)
+    t = beta - mean * s
+    pad = cop - s.shape[0]
+    s_l = jnp.tile(jnp.pad(s, (0, pad)), p)
+    t_l = jnp.tile(jnp.pad(t, (0, pad)), p)
+    return jnp.stack([s_l, t_l]).astype(jnp.float32)
+
+
+def bias_lanes(bias, p: int, cop: int):
+    return jnp.tile(jnp.pad(bias.astype(jnp.float32),
+                            (0, cop - bias.shape[0])), p)[None, :]

@@ -1,0 +1,239 @@
+"""Packed-domain fused conv engine tests (interpret mode on CPU).
+
+Reference semantics: each fused_conv call must equal
+``conv3x3(concat_j(prologue_j(x_j)))`` with SAME padding, where
+``prologue_j = relu(x_j * s_j + t_j)`` when given — the reference's
+Conv+BN+ReLU decoder chain (``unet_parts.py:93-103``) re-expressed in the
+packed-halo dataflow. Gradients are checked against jax autodiff of the
+unfused composite, including the moments (BN-statistics) path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import mmr_tpu.ops.pallas.packed_chain as pc
+from mmr_tpu.ops.pallas.conv3x3_packed import _toeplitz
+
+
+@pytest.fixture(autouse=True)
+def interpret(monkeypatch):
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+
+
+def ref_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def make_cfg(g, cins, cout, pro_mask, has_bias=False, emit_moments=True):
+    return pc.FusedCfg(
+        geom=g, l_list=tuple(g.lanes(c) for c in cins), lo=g.lanes(cout),
+        pro_mask=tuple(pro_mask), has_bias=has_bias,
+        emit_moments=emit_moments)
+
+
+def pack_all(g, xs):
+    return tuple(pc.to_packed(x, g) for x in xs)
+
+
+def tees_for(g, ws, cout):
+    return tuple(_toeplitz(w, g.p, g.cp(w.shape[2]), g.cp(cout)) for w in ws)
+
+
+class TestFusedForward:
+    def test_single_input_matches_lax(self, rng):
+        B, H, W, C, CO = 2, 16, 32, 8, 8
+        g = pc.row_geom(H, W)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+        cfg = make_cfg(g, [C], CO, [False])
+        y_p, mom = pc.fused_conv(cfg, pack_all(g, [x]), tees_for(g, [w], CO),
+                                 (None,), None)
+        y = pc.from_packed(y_p, g, CO).astype(jnp.float32)
+        want = ref_conv(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   atol=0.1, rtol=0.05)
+        # moments: per-lane sums of y (+padding zeros)
+        m0, var = pc.moments_to_stats(mom, B * H * W, g.p, g.cp(CO), CO)
+        np.testing.assert_allclose(np.asarray(m0),
+                                   np.asarray(want.mean(axis=(0, 1, 2))),
+                                   atol=0.05)
+        np.testing.assert_allclose(np.asarray(var),
+                                   np.asarray(want.var(axis=(0, 1, 2))),
+                                   rtol=0.1, atol=0.05)
+
+    def test_multi_input_matches_concat(self, rng):
+        B, H, W, CO = 2, 8, 32, 16
+        cins = [8, 16]
+        g = pc.row_geom(H, W)
+        xs = [jnp.asarray(rng.randn(B, H, W, c).astype(np.float32),
+                          jnp.bfloat16) for c in cins]
+        ws = [jnp.asarray(rng.randn(3, 3, c, CO).astype(np.float32) * 0.1)
+              for c in cins]
+        cfg = make_cfg(g, cins, CO, [False, False])
+        y_p, _ = pc.fused_conv(cfg, pack_all(g, xs), tees_for(g, ws, CO),
+                               (None, None), None)
+        y = pc.from_packed(y_p, g, CO).astype(jnp.float32)
+        want = ref_conv(jnp.concatenate(xs, -1), jnp.concatenate(ws, 2))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   atol=0.15, rtol=0.05)
+
+    def test_prologue_and_bias(self, rng):
+        B, H, W, C, CO = 1, 8, 32, 8, 8
+        g = pc.row_geom(H, W)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+        s = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+        t = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+        bias = jnp.asarray(rng.randn(CO).astype(np.float32))
+        pro = pc.bn_affine_lanes(s, t + s * 0, jnp.zeros(C), jnp.ones(C) - 1e-5,
+                                 1e-5, g.p, g.cp(C))
+        # bn_affine_lanes folds (gamma,beta,mean,var); with mean 0, var 1-eps
+        # it reduces to scale=s, shift=t
+        pro = pro.at[1].set(pc.bn_affine_lanes(
+            s, t, jnp.zeros(C), jnp.ones(C) - 1e-5, 1e-5, g.p, g.cp(C))[1])
+        cfg = make_cfg(g, [C], CO, [True], has_bias=True, emit_moments=False)
+        y_p, mom = pc.fused_conv(
+            cfg, pack_all(g, [x]), tees_for(g, [w], CO), (pro,),
+            pc.bias_lanes(bias, g.p, g.cp(CO)))
+        assert mom is None
+        y = pc.from_packed(y_p, g, CO).astype(jnp.float32)
+        a = jnp.maximum(x.astype(jnp.float32) * s + t, 0.0)
+        want = ref_conv(a, w) + bias
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   atol=0.1, rtol=0.05)
+
+
+class TestFusedBackward:
+    def test_grads_match_unfused(self, rng):
+        B, H, W, C, CO = 2, 8, 32, 8, 8
+        g = pc.row_geom(H, W)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+        s = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+        t = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+        r = jnp.asarray(rng.randn(B, H, W, CO).astype(np.float32))
+
+        cp, cop = g.cp(C), g.cp(CO)
+
+        def loss_fused(x, w, s, t):
+            pro = pc.bn_affine_lanes(s, t, jnp.zeros(C), jnp.ones(C) - 1e-5,
+                                     1e-5, g.p, cp)
+            cfg = make_cfg(g, [C], CO, [True], emit_moments=True)
+            tee = _toeplitz(w, g.p, cp, cop)
+            y_p, mom = pc.fused_conv(cfg, (pc.to_packed(x, g),), (tee,),
+                                     (pro,), None)
+            y = pc.from_packed(y_p, g, CO).astype(jnp.float32)
+            m0, var = pc.moments_to_stats(mom, B * H * W, g.p, cop, CO)
+            # moments participate in the loss (exercises the dmoments path)
+            return jnp.sum(y * r) + jnp.sum(m0 * 0.7) + jnp.sum(var * 0.3)
+
+        def loss_ref(x, w, s, t):
+            a = jnp.maximum(x.astype(jnp.float32) * s + t, 0.0)
+            y = ref_conv(a.astype(jnp.bfloat16), w)
+            m0 = y.mean(axis=(0, 1, 2))
+            var = y.var(axis=(0, 1, 2))
+            return jnp.sum(y * r) + jnp.sum(m0 * 0.7) + jnp.sum(var * 0.3)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, s, t)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, s, t)
+        for a, e, name, tol in zip(gf, gr, "x w s t".split(),
+                                   (0.2, 1.0, 1.0, 0.5)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(e, np.float32),
+                atol=tol, rtol=0.08, err_msg=f"d{name}")
+
+    def test_multi_input_grads(self, rng):
+        B, H, W, CO = 1, 8, 32, 8
+        cins = [8, 16]
+        g = pc.row_geom(H, W)
+        xs = [jnp.asarray(rng.randn(B, H, W, c).astype(np.float32),
+                          jnp.bfloat16) for c in cins]
+        ws = [jnp.asarray(rng.randn(3, 3, c, CO).astype(np.float32) * 0.1)
+              for c in cins]
+        r = jnp.asarray(rng.randn(B, H, W, CO).astype(np.float32))
+
+        def loss_fused(xs, ws):
+            cfg = make_cfg(g, cins, CO, [False, False], emit_moments=False)
+            tees = tees_for(g, ws, CO)
+            y_p, _ = pc.fused_conv(cfg, pack_all(g, xs), tees,
+                                   (None, None), None)
+            return jnp.sum(pc.from_packed(y_p, g, CO).astype(jnp.float32) * r)
+
+        def loss_ref(xs, ws):
+            return jnp.sum(ref_conv(jnp.concatenate(xs, -1),
+                                    jnp.concatenate(ws, 2)) * r)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(tuple(xs), tuple(ws))
+        gr = jax.grad(loss_ref, argnums=(0, 1))(tuple(xs), tuple(ws))
+        for branch_f, branch_r in zip(gf, gr):
+            for a, e in zip(branch_f, branch_r):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(e, np.float32),
+                    atol=0.6, rtol=0.08)
+
+
+def test_upsample_packed_roundtrip(rng):
+    g_src = pc.row_geom(8, 16)
+    g_dst = pc.row_geom(16, 32)
+    x = jnp.asarray(rng.randn(2, 8, 16, 8).astype(np.float32), jnp.bfloat16)
+    up = pc.upsample2x_packed(pc.to_packed(x, g_src), g_src, 8, g_dst)
+    got = pc.from_packed(up, g_dst, 8)
+    want = np.repeat(np.repeat(np.asarray(x, np.float32), 2, 1), 2, 2)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, atol=1e-2)
+
+
+class TestPackedUnetPP:
+    """Packed decoder == standard decoder with the same params (interpret
+    mode), and identical param/batch-stats trees (checkpoint interchange)."""
+
+    def _models(self):
+        from mmr_tpu.models.decoders import UnetPlusPlusModel
+
+        kw = dict(num_classes=5, encoder_name="tu-mobilenetv3_small_100")
+        return (UnetPlusPlusModel(**kw, packed=False),
+                UnetPlusPlusModel(**kw, packed=True))
+
+    def test_param_tree_identical(self):
+        std, pk = self._models()
+        x = jnp.zeros((1, 128, 256, 3), jnp.float32)
+        v_std = std.init(jax.random.key(0), x, train=False)
+        v_pk = pk.init(jax.random.key(0), x, train=False)
+        shapes = lambda t: jax.tree_util.tree_map(lambda a: a.shape, t)
+        assert shapes(v_std["params"]) == shapes(v_pk["params"])
+        assert shapes(v_std["batch_stats"]) == shapes(v_pk["batch_stats"])
+
+    def test_forward_equivalence_eval(self, rng):
+        std, pk = self._models()
+        x = jnp.asarray(rng.rand(1, 128, 256, 3).astype(np.float32))
+        variables = std.init(jax.random.key(0), x, train=False)
+        y_std = std.apply(variables, x, train=False)
+        y_pk = pk.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_std),
+                                   atol=0.25, rtol=0.05)
+        # argmax agreement on nearly all pixels
+        agree = (np.argmax(np.asarray(y_pk), -1)
+                 == np.argmax(np.asarray(y_std), -1)).mean()
+        assert agree > 0.99
+
+    def test_forward_equivalence_train(self, rng):
+        std, pk = self._models()
+        x = jnp.asarray(rng.rand(2, 128, 256, 3).astype(np.float32))
+        variables = std.init(jax.random.key(0), x, train=False)
+        y_std, m_std = std.apply(variables, x, train=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.key(1)})
+        y_pk, m_pk = pk.apply(variables, x, train=True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.key(1)})
+        agree = (np.argmax(np.asarray(y_pk), -1)
+                 == np.argmax(np.asarray(y_std), -1)).mean()
+        assert agree > 0.98
+        # running stats updated consistently (spot-check one decoder BN)
+        s_std = m_std["batch_stats"]["x_0_1_conv1"]["bn"]["mean"]
+        s_pk = m_pk["batch_stats"]["x_0_1_conv1"]["bn"]["mean"]
+        np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_std),
+                                   atol=0.05, rtol=0.1)
