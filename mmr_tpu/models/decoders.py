@@ -88,114 +88,224 @@ class UnetDecoderModel(nn.Module, _EncoderMixin):
         return SegmentationHead(self.num_classes, dtype=self.dtype, name="head")(y)
 
 
+def smp_unetpp_plan(enc_ch: tuple[int, ...], dec_ch: tuple[int, ...]):
+    """smp ``UnetPlusPlusDecoder``'s exact block plan.
+
+    ``enc_ch`` are the encoder feature channels fine→coarse (e.g. mbv3-small:
+    (16, 16, 24, 48, 576)); returns ``{(d, l): (in_ch, skip_ch, out_ch)}``
+    keyed like smp's ``blocks["x_{d}_{l}"]``. Verified to reproduce the
+    3,714,090-param default exactly (``MMR_EN:DE_CODER/README.md``
+    architecture-summary table; smp decoder built at
+    ``Main_MMR_SegModel.py:589``).
+    """
+    rev = list(enc_ch[::-1])
+    in_ch = [rev[0]] + list(dec_ch[: len(rev) - 1])
+    skip_ch = rev[1:] + [0]
+    out_ch = list(dec_ch)
+    blocks: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for layer in range(len(in_ch) - 1):
+        for d in range(layer + 1):
+            if d == 0:
+                blocks[(0, layer)] = (in_ch[layer],
+                                      skip_ch[layer] * (layer + 1),
+                                      out_ch[layer])
+            else:
+                blocks[(d, layer)] = (skip_ch[layer - 1],
+                                      skip_ch[layer] * (layer + 1 - d),
+                                      skip_ch[layer])
+    blocks[(0, len(in_ch) - 1)] = (in_ch[-1], 0, out_ch[len(in_ch) - 1])
+    return blocks
+
+
 class UnetPlusPlusModel(nn.Module, _EncoderMixin):
-    """UNet++ — nested dense skip connections (+ optional deep supervision).
+    """UNet++ — smp-exact nested dense decoder.
 
     The reference's default architecture (``ModelTraining.py:248-254``,
-    ``common_utils.py:236``; UNet++ paper: Zhou et al., 1807.10165 /
-    1912.05074). Grid nodes X[i][j]: row i = pyramid level (stride 2^{i+1}),
-    column j = dense-skip depth; X[i][j] consumes all same-row predecessors
-    plus the ×2-upsampled X[i+1][j-1]. Output path: X[0][depth] → final
-    no-skip up-block to stride 1 → head. ``deep_supervision`` averages heads
-    over X[0][1..depth] (each upsampled to full res).
+    ``common_utils.py:236``: ``smp.UnetPlusPlus``). Topology and parameter
+    shapes replicate ``segmentation_models_pytorch``'s
+    ``UnetPlusPlusDecoder`` block-for-block (see :func:`smp_unetpp_plan`):
+    node ``x_d_l`` upsamples ``x_d_{l-1}`` ×2 (nearest), concatenates
+    [up(x), denser same-scale nodes, encoder feature], then Conv3x3-BN-ReLU
+    ×2. The main path x_0_0..x_0_4 carries ``decoder_channels``
+    (256,128,64,32,16) up to stride 1; one 3×3 head maps to classes.
+    Default (mbv3-small encoder, 10 classes): 3,714,090 params — the
+    reference's published count.
+
+    ``packed=True`` executes the fine-resolution nodes in the packed-halo
+    fused-kernel dataflow (``ops/pallas/packed_chain.py``) with an identical
+    parameter tree (checkpoints interchange); coarse nodes (tiny tensors)
+    stay on the XLA path.
     """
 
     num_classes: int
     encoder_name: str = "tu-mobilenetv3_small_100"
     decoder_channels: tuple[int, ...] = (256, 128, 64, 32, 16)
     deep_supervision: bool = False
-    # packed=True runs the decoder in the packed-halo fused-kernel dataflow
-    # (ops/pallas/packed_chain.py) — same math, same param tree, TPU-only
     packed: bool = False
+    packed_min_hw: int = 64 * 64  # nodes with out H*W >= this go packed
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self._encode(x, train)
+        feats = [f for f in feats if f is not None]
+        fr = feats[::-1]                       # [f5 .. f1], smp order
+        depth = len(fr) - 1
+        enc_ch = tuple(f.shape[-1] for f in feats)
+        plan = smp_unetpp_plan(enc_ch, self.decoder_channels)
         if self.packed:
-            return self._packed_decoder(feats, x, train)
-        # usable rows: levels that exist (ConvNeXt/MiT have feats[0] is None)
-        first = 0 if feats[0] is not None else 1
-        rows = feats[first:]                       # X[i][0] = rows[i]
-        depth = len(rows) - 1                      # dense columns per top row
-        # row output channels, finest→coarsest, from the smp-style plan:
-        # e.g. depth 4 rows get (32, 64, 128, 256)
-        row_ch = list(self.decoder_channels[:-1][::-1])[: len(rows) - 1]
+            return self._packed_decoder(fr, depth, plan, train)
 
-        grid: dict[tuple[int, int], jnp.ndarray] = {}
-        for i in range(len(rows)):
-            grid[(i, 0)] = rows[i]
-        for j in range(1, depth + 1):
-            for i in range(0, depth + 1 - j):
-                below = upsample2x(grid[(i + 1, j - 1)], "nearest")
-                same_row = [grid[(i, k)] for k in range(j)]
-                y = jnp.concatenate(same_row + [below], axis=-1)
-                y = ConvBN(row_ch[i], dtype=self.dtype, name=f"x_{i}_{j}_conv1")(y, train)
-                y = ConvBN(row_ch[i], dtype=self.dtype, name=f"x_{i}_{j}_conv2")(y, train)
-                grid[(i, j)] = y
+        dense: dict[tuple[int, int], jnp.ndarray] = {}
+        for layer in range(depth):
+            for d in range(depth - layer):
+                l = d + layer
+                if layer == 0:
+                    x_in, skips = fr[d], [fr[d + 1]]
+                else:
+                    x_in = dense[(d, l - 1)]
+                    skips = [dense[(idx, l)] for idx in range(d + 1, l + 1)] \
+                        + [fr[l + 1]]
+                dense[(d, l)] = DecoderBlock(
+                    plan[(d, l)][2], dtype=self.dtype,
+                    name=f"x_{d}_{l}")(x_in, skips, train)
+        dense[(0, depth)] = DecoderBlock(
+            plan[(0, depth)][2], dtype=self.dtype,
+            name=f"x_0_{depth}")(dense[(0, depth - 1)], None, train)
 
-        stride0 = 2 ** (first + 1)  # stride of row 0 (2, or 4 for 4-level encoders)
-
-        def to_logits(node, j):
-            y = DecoderBlock(self.decoder_channels[-1], dtype=self.dtype,
-                             name=f"final_block_{j}")(node, None, train)
-            head = SegmentationHead(self.num_classes, upsampling=stride0 // 2,
-                                    dtype=self.dtype, name=f"head_{j}")
-            return head(y)
-
+        up = 2 ** max(0, 5 - len(fr))  # 4-level encoders stop at stride 2
+        logits = SegmentationHead(self.num_classes, upsampling=up,
+                                  dtype=self.dtype,
+                                  name="head")(dense[(0, depth)])
         if self.deep_supervision:
-            # all heads always exist in the param tree; train averages them,
-            # eval uses only the deepest (standard UNet++ deep supervision)
-            outs = [to_logits(grid[(0, j)], j) for j in range(1, depth + 1)]
-            return jnp.mean(jnp.stack(outs), axis=0) if train else outs[-1]
-        return to_logits(grid[(0, depth)], depth)
+            # auxiliary heads on the intermediate main-path nodes (UNet++
+            # deep supervision; params exist whenever the flag is set — XLA
+            # prunes the unused aux computations at eval)
+            outs = [logits]
+            for l in range(1, depth):
+                aux = SegmentationHead(self.num_classes, dtype=self.dtype,
+                                       name=f"head_ds_{l}")(dense[(0, l)])
+                outs.append(resize_bilinear(
+                    aux, (logits.shape[-3], logits.shape[-2])))
+            if train:
+                return jnp.mean(jnp.stack(outs), axis=0)
+        return logits
 
-    def _packed_decoder(self, feats, x, train):
-        """The same UNet++ grid in the packed-halo dataflow: identical param
-        names (x_i_j_conv{1,2}/conv+bn, final_block_j, head_j) so
-        checkpoints interchange with the standard path."""
+    def _packed_decoder(self, fr, depth, plan, train):
+        """Same smp topology; fine-resolution nodes run as packed fused
+        kernels, coarse nodes stay on XLA (tiny tensors, big channel
+        counts). One shared geometry per output scale (all ``x_*_l`` share
+        their out resolution) so same-scale skips never repack; the packing
+        factor is the largest p whose worst node fits the fwd VMEM budget."""
+        import mmr_tpu.ops.pallas.packed_chain as pc
         from mmr_tpu.models.packed_blocks import (
-            PackedConvBN, pack_plain, upsample_packed)
+            PackedConvBN, PackedT, upsample_packed)
 
         assert not self.deep_supervision, "packed path: deep_supervision off"
-        first = 0 if feats[0] is not None else 1
-        rows = feats[first:]
-        depth = len(rows) - 1
-        row_ch = list(self.decoder_channels[:-1][::-1])[: len(rows) - 1]
-        stride0 = 2 ** (first + 1)
-        assert stride0 == 2, "packed path supports 5-level encoders"
 
-        row_main = row_ch + [rows[-1].shape[-1]]
-        grid = {(i, 0): pack_plain(rows[i], row_main[i])
-                for i in range(len(rows))}
-        for j in range(1, depth + 1):
-            for i in range(0, depth + 1 - j):
-                below = upsample_packed(grid[(i + 1, j - 1)],
-                                        grid[(i, 0)].geom)
-                inputs = [grid[(i, k)] for k in range(j)] + [below]
-                y = PackedConvBN(row_ch[i], name=f"x_{i}_{j}_conv1")(
-                    inputs, train)
-                y = PackedConvBN(row_ch[i], name=f"x_{i}_{j}_conv2")(
-                    [y], train)
-                grid[(i, j)] = y
+        # input-piece channel lists per node (python-static, from the plan)
+        enc_rev = [f.shape[-1] for f in fr]
+        pieces: dict[tuple[int, int], list[int]] = {}
+        for (d, l), (in_ch, skip_ch, out_ch) in plan.items():
+            if l == d and l < depth:      # layer-0 node: up(feat) + feat
+                pieces[(d, l)] = [in_ch, enc_rev[d + 1]]
+            elif l == depth and d == 0:   # final node: no skips
+                pieces[(d, l)] = [in_ch]
+            else:
+                base = enc_rev[l + 1]
+                n_dense = l - d
+                pieces[(d, l)] = [in_ch] + [base] * n_dense + [enc_rev[l + 1]]
 
-        class _FinalBlock(nn.Module):
-            out_ch: int
+        h5, w5 = fr[0].shape[1], fr[0].shape[2]  # deepest feature resolution
 
-            @nn.compact
-            def __call__(self, t, train=False):
-                from mmr_tpu.ops.pallas.packed_chain import row_geom
+        def scale_hw(l):
+            return h5 * 2 ** (l + 1), w5 * 2 ** (l + 1)
 
-                g = row_geom(t.geom.h * 2, t.geom.w * 2, self.out_ch)
-                t = upsample_packed(t, g)
-                t = PackedConvBN(self.out_ch, name="conv1")([t], train)
-                return PackedConvBN(self.out_ch, name="conv2")([t], train)
+        def choose_geom(l):
+            h, w = scale_hw(l)
+            if h * w < self.packed_min_hw:
+                return None
+            budget = 5 * 1024 * 1024
+            for p in (8, 4, 2, 1):
+                if 128 % p or w % p:
+                    continue
+                wb = w // p
+                if wb < 8 or wb % 8:
+                    continue
+                g = pc.RowGeom(h, w, p, wb, -(-(wb + 2) // 8) * 8)
+                ok = True
+                for (d, ll), chans in pieces.items():
+                    if ll != l:
+                        continue
+                    out_ch = plan[(d, ll)][2]
+                    tees = 9 * sum(g.lanes(c) for c in chans) \
+                        * g.lanes(out_ch) * 2
+                    tees2 = 9 * g.lanes(out_ch) * g.lanes(out_ch) * 2
+                    if max(tees, tees2) > budget:
+                        ok = False
+                        break
+                if ok:
+                    return g
+            return None
 
-        y = _FinalBlock(self.decoder_channels[-1],
-                        name=f"final_block_{depth}")(grid[(0, depth)], train)
-        logits = PackedConvBN(self.num_classes, use_bn=False,
-                              name=f"head_{depth}")([y], train)
-        return logits.unpack().astype(jnp.float32)
+        geoms = {l: choose_geom(l) for l in range(depth + 1)}
+
+        def as_array(v):
+            return v.unpack() if isinstance(v, PackedT) else v
+
+        def pack_into(arr, g):
+            return PackedT(pc.to_packed(arr, g), None, arr.shape[-1], g)
+
+        def as_packed(v, g):
+            if isinstance(v, PackedT):
+                return v if v.geom == g else pack_into(as_array(v), g)
+            return pack_into(v, g)
+
+        def run_node(d, l, x_in, skips):
+            out_ch = plan[(d, l)][2]
+            g = geoms[l]
+            if g is None:
+                y = DecoderBlock(out_ch, dtype=self.dtype,
+                                 name=f"x_{d}_{l}")(
+                    as_array(x_in),
+                    [as_array(s) for s in skips] if skips else None, train)
+                return y
+            if isinstance(x_in, PackedT):
+                x_up = upsample_packed(x_in, g)
+            else:
+                x_up = pack_into(upsample2x(x_in, "nearest"), g)
+            inputs = [x_up] + [as_packed(s, g) for s in skips]
+
+            class _Node(nn.Module):
+                out_ch: int
+
+                @nn.compact
+                def __call__(self, inputs, train=False):
+                    y = PackedConvBN(self.out_ch, name="conv1")(inputs, train)
+                    return PackedConvBN(self.out_ch, name="conv2")([y], train)
+
+            return _Node(out_ch, name=f"x_{d}_{l}")(inputs, train)
+
+        dense: dict[tuple[int, int], object] = {}
+        for layer in range(depth):
+            for d in range(depth - layer):
+                l = d + layer
+                if layer == 0:
+                    x_in, skips = fr[d], [fr[d + 1]]
+                else:
+                    x_in = dense[(d, l - 1)]
+                    skips = [dense[(idx, l)] for idx in range(d + 1, l + 1)] \
+                        + [fr[l + 1]]
+                dense[(d, l)] = run_node(d, l, x_in, skips)
+        dense[(0, depth)] = run_node(0, depth, dense[(0, depth - 1)], [])
+
+        top = dense[(0, depth)]
+        if isinstance(top, PackedT):
+            logits = PackedConvBN(self.num_classes, use_bn=False,
+                                  name="head")([top], train)
+            return logits.unpack().astype(jnp.float32)
+        return SegmentationHead(self.num_classes, dtype=self.dtype,
+                                name="head")(top)
 
 
 class SegformerModel(nn.Module, _EncoderMixin):

@@ -44,11 +44,11 @@ ENCODERS: dict[str, EncoderSpec] = {
     # (common_utils.py:236: 'tu-mobilenetv3_small_100')
     "tu-mobilenetv3_small_100": EncoderSpec(
         build=lambda dtype, name: MobileNetV3SmallEncoder(dtype=dtype, name=name),
-        channels=(16, 16, 24, 48, 96),
+        channels=(16, 16, 24, 48, 576),
     ),
     "mobilenetv3_small_100": EncoderSpec(
         build=lambda dtype, name: MobileNetV3SmallEncoder(dtype=dtype, name=name),
-        channels=(16, 16, 24, 48, 96),
+        channels=(16, 16, 24, 48, 576),
     ),
     # PKG-INFO Example 3 encoder family (tu-convnextv2_tiny)
     "tu-convnextv2_tiny": EncoderSpec(

@@ -131,6 +131,14 @@ class MobileNetV3SmallEncoder(nn.Module):
 
         x = ir(288, 96, 5, 2, True, "hardswish", name="b4_0")(f4, train)
         x = ir(576, 96, 5, 1, True, "hardswish", name="b4_1")(x, train)
-        f5 = ir(576, 96, 5, 1, True, "hardswish", name="b4_2")(x, train)  # s32, 96
+        x = ir(576, 96, 5, 1, True, "hardswish", name="b4_2")(x, train)  # s32, 96
+
+        # timm blocks[5]: ConvBnAct 1x1 96->576 hardswish — part of
+        # features_only, so the stride-32 feature timm (and hence smp's
+        # TimmUniversalEncoder / the 3,714,090-param UNet++) exposes is
+        # 576-channel (`MMR_EN:DE_CODER/README.md` architecture summary)
+        x = nn.Conv(576, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="b5_0_conv")(x)
+        f5 = hard_swish(bn("b5_0_bn1")(x))
 
         return [f1, f2, f3, f4, f5]

@@ -56,6 +56,10 @@ class Conv3x3(nn.Module):
                               (self.features,), jnp.float32)
         else:
             bias = jnp.zeros((self.features,), jnp.float32)
+        if self.is_initializing():
+            # registration-only: init may run on a host device where the
+            # TPU kernel can't lower; values are irrelevant to param shapes
+            return jnp.zeros(x.shape[:-1] + (self.features,), self.dtype)
         return conv3x3p_bias_act(x.astype(self.dtype), kernel, bias,
                                  False, self.use_bias)
 

@@ -119,6 +119,9 @@ def _mobilenetv3_tree(sd: Mapping[str, Any]) -> tuple[dict, dict]:
             p, s = _mbv3_block(sd, f"blocks.{idx}.{b}", kind)
             params[f"{prefix}_{b}"] = p
             stats[f"{prefix}_{b}"] = s
+    # timm blocks[5]: ConvBnAct 96->576 (the stride-32 feature's 1x1 head)
+    params["b5_0_conv"] = {"kernel": _conv(sd["blocks.5.0.conv.weight"])}
+    params["b5_0_bn1"], stats["b5_0_bn1"] = _bn(sd, "blocks.5.0.bn1")
     return params, stats
 
 
@@ -231,3 +234,47 @@ def load_encoder_weights(variables: dict, encoder_name: str | None, source: str)
     if "batch_stats" in new_vars and stats:
         _graft(new_vars["batch_stats"][enc_key], stats, "batch_stats")
     return new_vars
+
+
+# ------------------------------------------------- full smp UNet++ importer
+
+def import_smp_unetpp_state_dict(sd: Mapping[str, Any], encoder_name: str
+                                 ) -> tuple[dict, dict]:
+    """Convert a *complete* smp ``UnetPlusPlus`` state dict (encoder +
+    decoder + segmentation head; the reference's ``best_model.pth`` contents,
+    ``Main_MMR_SegModel.py:919-956``) into our
+    :class:`~mmr_tpu.models.decoders.UnetPlusPlusModel` params/batch_stats.
+
+    smp naming: ``encoder.[model.]...`` (timm encoders sit under ``.model``),
+    ``decoder.blocks.x_{d}_{l}.conv{1,2}.{0,1}.*`` (Conv2dReLU =
+    Sequential[conv, bn, relu]) and ``segmentation_head.0.{weight,bias}``.
+    """
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    if any(k.startswith("model.") for k in enc_sd):
+        enc_sd = {k[len("model."):]: v for k, v in enc_sd.items()
+                  if k.startswith("model.")}
+    enc_params, enc_stats = import_torch_state_dict(enc_sd, encoder_name)
+    params: dict = {"encoder": enc_params}
+    stats: dict = {"encoder": enc_stats}
+
+    node_names = sorted({k.split(".")[2] for k in sd
+                         if k.startswith("decoder.blocks.")})
+    for node in node_names:
+        p_node: dict = {}
+        s_node: dict = {}
+        for conv in ("conv1", "conv2"):
+            base = f"decoder.blocks.{node}.{conv}"
+            p_node[conv] = {
+                "conv": {"kernel": _conv(sd[f"{base}.0.weight"])}}
+            bn_p, bn_s = _bn(sd, f"{base}.1")
+            p_node[conv]["bn"] = bn_p
+            s_node[conv] = {"bn": bn_s}
+        params[node] = p_node
+        stats[node] = s_node
+
+    params["head"] = {"conv": {
+        "kernel": _conv(sd["segmentation_head.0.weight"]),
+        "bias": _np(sd["segmentation_head.0.bias"]),
+    }}
+    return params, stats

@@ -229,12 +229,13 @@ def _dw_kernel(x_hbm, g_ref, dt_ref, xt, sem, *, th: int, wb: int, n_i: int):
 
     dma(k % 2, b, i).wait()
     x = xt[k % 2]
-    g = g_ref[0]
+    g2 = g_ref[0].reshape(th * wb, g_ref.shape[-1])
     for dy in range(3):
         for dwb in range(3):
+            # flattened to 2-D: Mosaic's matmul wants one contracting dim
+            x2 = x[dy:dy + th, dwb:dwb + wb, :].reshape(th * wb, x.shape[-1])
             dt_ref[dy, dwb] += jax.lax.dot_general(
-                x[dy:dy + th, dwb:dwb + wb, :], g,
-                (((0, 1), (0, 1)), ((), ())),
+                x2, g2, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
 

@@ -361,6 +361,9 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
         dy_tile = jnp.where(valid, corrected, 0.0)
     dy_bf = dy_tile.astype(jnp.bfloat16)
     dy_interior = dy_tile[1:1 + th, 1:1 + wb, :]
+    # 2-D flattened view for the dW contraction (Mosaic's matmul wants a
+    # single contracting dim)
+    dy_flat = dy_interior.astype(jnp.bfloat16).reshape(th * wb, lo)
     if has_bias:
         dbias[0, :] += jnp.sum(dy_interior, axis=(0, 1))
 
@@ -371,13 +374,14 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
             a_tile = _prologue(x_tile, pros[j], valid)
         else:
             a_tile = x_tile
-        # dW: dT[dy,dwb] += a_view^T @ dy_interior
+        # dW: dT[dy,dwb] += a_view^T @ dy_interior (operands flattened to
+        # 2-D — Mosaic requires a single contracting dim)
         for dyy in range(3):
             for dwb in range(3):
+                a2 = a_tile[dyy:dyy + th, dwb:dwb + wb, :].reshape(
+                    th * wb, l_list[j])
                 dts[j][dyy, dwb] += jax.lax.dot_general(
-                    a_tile[dyy:dyy + th, dwb:dwb + wb, :],
-                    dy_interior.astype(jnp.bfloat16),
-                    (((0, 1), (0, 1)), ((), ())),
+                    a2, dy_flat, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         # dx: with T'[d] = T[-d]^T the taps read the halo'd dy tile exactly
         # like the forward reads x
@@ -429,28 +433,40 @@ class FusedCfg:
     has_bias: bool
     emit_moments: bool
 
-    def th(self, backward: bool) -> int:
+    def vmem(self, th: int, backward: bool) -> int:
         g = self.geom
-
-        def cost(th):
-            tiles = sum(2 * (th + 2) * g.wbp * l * 2 for l in self.l_list)
+        tiles = sum(2 * (th + 2) * g.wbp * l * 2 for l in self.l_list)
+        if not backward:
             tees = sum(9 * l * self.lo * 2 for l in self.l_list)
             acc = th * g.wb * self.lo * 4
             stage = 2 * th * g.wbp * self.lo * 2 + g.wbp * self.lo * 2
-            if backward:
-                tiles += 2 * (th + 2) * g.wbp * self.lo * 2 * (
-                    1 + int(self.emit_moments))
-                tees *= 2
-                dts = sum(9 * l * self.lo * 4 for l in self.l_list)
-                acc = th * g.wb * max(self.l_list) * 4 + th * g.wb * self.lo * 4
-                stage = sum(2 * th * g.wbp * l * 2 + g.wbp * l * 2
-                            for l in self.l_list)
-                return tiles + tees + dts + acc + stage
             return tiles + tees + acc + stage
+        # backward holds T' (bf16) + dT (f32) per input, dy(+y) tiles, per-
+        # input dx staging, and the two live f32 accumulators
+        tiles += 2 * (th + 2) * g.wbp * self.lo * 2 * (
+            1 + int(self.emit_moments))
+        tees = sum(9 * l * self.lo * 2 for l in self.l_list)
+        dts = sum(9 * l * self.lo * 4 for l in self.l_list)
+        acc = th * g.wb * max(self.l_list) * 4 + th * g.wb * self.lo * 4
+        stage = sum(2 * th * g.wbp * l * 2 + g.wbp * l * 2
+                    for l in self.l_list)
+        return tiles + tees + dts + acc + stage
 
-        th = choose_th(g.h, cost)
+    def th(self, backward: bool) -> int:
+        th = choose_th(self.geom.h, lambda t: self.vmem(t, backward))
         assert th, f"no feasible row tile for {self}"
         return th
+
+    def fits(self, backward: bool) -> bool:
+        return choose_th(self.geom.h,
+                         lambda t: self.vmem(t, backward)) is not None
+
+    def subset(self, idxs, has_bias=None) -> "FusedCfg":
+        return dataclasses.replace(
+            self,
+            l_list=tuple(self.l_list[i] for i in idxs),
+            pro_mask=tuple(self.pro_mask[i] for i in idxs),
+            has_bias=self.has_bias if has_bias is None else has_bias)
 
 
 def _fwd_call(cfg: FusedCfg, inputs, tees, pros, bias):
@@ -610,8 +626,38 @@ def _fused_conv_bwd(cfg, res, cot):
     dy, dmom = cot
     if cfg.emit_moments and dmom is None:
         dmom = jnp.zeros((2, cfg.lo), jnp.float32)
-    dxs, dts, dpros, dbias = _bwd_call(cfg, inputs, tees, pros, y, dy, dmom)
-    return dxs, dts, dpros, dbias
+    nj = len(inputs)
+    if cfg.fits(backward=True):
+        groups = [list(range(nj))]
+    else:
+        # VMEM-bounded input groups: each group re-reads dy (+y) but holds
+        # only its own T'/dT — needed for wide-concat nodes (e.g. the
+        # 576-channel stride-16 input)
+        groups, cur = [], []
+        for i in range(nj):
+            if cur and not cfg.subset(cur + [i]).fits(backward=True):
+                groups.append(cur)
+                cur = []
+            cur.append(i)
+        groups.append(cur)
+    if len(groups) == 1:
+        dxs, dts, dpros, dbias = _bwd_call(cfg, inputs, tees, pros, y, dy,
+                                           dmom)
+        return dxs, dts, dpros, dbias
+    dxs = [None] * nj
+    dts = [None] * nj
+    dpros = [None] * nj
+    dbias = None
+    for gi, idxs in enumerate(groups):
+        sub = cfg.subset(idxs, has_bias=cfg.has_bias and gi == 0)
+        gx, gt, gp, gb = _bwd_call(
+            sub, tuple(inputs[i] for i in idxs), tuple(tees[i] for i in idxs),
+            tuple(pros[i] for i in idxs), y, dy, dmom)
+        for a, i in enumerate(idxs):
+            dxs[i], dts[i], dpros[i] = gx[a], gt[a], gp[a]
+        if gi == 0 and cfg.has_bias:
+            dbias = gb
+    return tuple(dxs), tuple(dts), tuple(dpros), dbias
 
 
 fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)

@@ -30,9 +30,10 @@ def test_resnet18_encoder_param_count():
     assert n == 11_176_512
 
 
-def test_flagship_param_count_regime():
-    """Default UNet++/MobileNetV3 lands in the reference's ~3.7M regime
-    (exact reference count 3,714,090; ours differs by decoder plan details)."""
+def test_flagship_param_count_exact():
+    """Default UNet++/MobileNetV3 must be smp-exact: 3,714,090 params
+    (`MMR_EN:DE_CODER/README.md` architecture summary; model built at
+    ``Main_MMR_SegModel.py:589``)."""
     from mmr_tpu.models import create_model
 
     m, _ = create_model("UnetPlusPlus", encoder_name="tu-mobilenetv3_small_100",
@@ -40,4 +41,26 @@ def test_flagship_param_count_regime():
     vs = m.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)),
                 train=False)
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(vs["params"]))
-    assert 2_500_000 < n < 5_000_000, n
+    assert n == 3_714_090, n
+
+
+def test_smp_decoder_block_plan_golden():
+    """Block-by-block params of the smp UnetPlusPlusDecoder plan vs the
+    torchinfo table in `MMR_EN:DE_CODER/README.md` (DecoderBlock rows)."""
+    from mmr_tpu.models.decoders import smp_unetpp_plan
+
+    plan = smp_unetpp_plan((16, 16, 24, 48, 576), (256, 128, 64, 32, 16))
+    count = {k: 9 * (i + s) * o + 2 * o + 9 * o * o + 2 * o
+             for k, (i, s, o) in plan.items()}
+    assert count[(0, 0)] == 2_028_544
+    assert count[(1, 1)] == 20_832
+    assert count[(2, 2)] == 8_128
+    assert count[(3, 3)] == 6_976
+    assert count[(0, 1)] == 498_176
+    assert count[(1, 2)] == 10_432
+    assert count[(2, 3)] == 9_280
+    assert count[(0, 2)] == 138_496
+    assert count[(1, 3)] == 11_584
+    assert count[(0, 3)] == 46_208
+    assert count[(0, 4)] == 6_976
+    assert sum(count.values()) == 2_785_632

@@ -233,7 +233,7 @@ class TestPackedUnetPP:
                  == np.argmax(np.asarray(y_std), -1)).mean()
         assert agree > 0.98
         # running stats updated consistently (spot-check one decoder BN)
-        s_std = m_std["batch_stats"]["x_0_1_conv1"]["bn"]["mean"]
-        s_pk = m_pk["batch_stats"]["x_0_1_conv1"]["bn"]["mean"]
+        s_std = m_std["batch_stats"]["x_0_3"]["conv1"]["bn"]["mean"]
+        s_pk = m_pk["batch_stats"]["x_0_3"]["conv1"]["bn"]["mean"]
         np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_std),
                                    atol=0.05, rtol=0.1)
