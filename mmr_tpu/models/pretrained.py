@@ -134,6 +134,12 @@ def import_torch_state_dict(sd: Mapping[str, Any], encoder_name: str) -> tuple[d
         return _resnet_tree(sd, (3, 4, 6, 3))
     if name.startswith("mobilenetv3_small"):
         return _mobilenetv3_tree(sd)
+    if name.startswith("mit_b"):
+        depths = {"mit_b0": (2, 2, 2, 2), "mit_b2": (3, 4, 6, 3)}[name]
+        return _mit_tree(sd, depths)
+    if name.startswith("convnext"):
+        return _convnext_tree(sd, (3, 3, 9, 3),
+                              use_grn="v2" in name)
     raise ValueError(f"no torch import mapping for encoder {encoder_name!r}")
 
 
@@ -278,3 +284,88 @@ def import_smp_unetpp_state_dict(sd: Mapping[str, Any], encoder_name: str
         "bias": _np(sd["segmentation_head.0.bias"]),
     }}
     return params, stats
+
+
+def _ln(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]).reshape(-1),
+            "bias": _np(sd[f"{prefix}.bias"]).reshape(-1)}
+
+
+def _dense(sd: Mapping[str, Any], prefix: str) -> dict:
+    """torch Linear (O, I) -> flax Dense kernel (I, O)."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _mit_tree(sd: Mapping[str, Any], depths) -> tuple[dict, dict]:
+    """Official Segformer / smp ``mit_b*`` naming -> our
+    MixVisionTransformerEncoder tree. The fused ``attn.kv`` Linear splits
+    into our separate k/v Dense layers."""
+    params: dict = {}
+    for i in range(4):
+        st = i + 1
+        params[f"patch_embed{st}"] = {
+            "kernel": _conv(sd[f"patch_embed{st}.proj.weight"]),
+            "bias": _np(sd[f"patch_embed{st}.proj.bias"])}
+        params[f"patch_norm{st}"] = _ln(sd, f"patch_embed{st}.norm")
+        for b in range(depths[i]):
+            t = f"block{st}.{b}"
+            kv_w = _np(sd[f"{t}.attn.kv.weight"])  # (2*dim, dim)
+            kv_b = _np(sd[f"{t}.attn.kv.bias"])
+            dim = kv_w.shape[1]
+            attn = {
+                "q": _dense(sd, f"{t}.attn.q"),
+                "k": {"kernel": kv_w[:dim].T, "bias": kv_b[:dim]},
+                "v": {"kernel": kv_w[dim:].T, "bias": kv_b[dim:]},
+                "proj": _dense(sd, f"{t}.attn.proj"),
+            }
+            if f"{t}.attn.sr.weight" in sd:
+                attn["sr"] = {"kernel": _conv(sd[f"{t}.attn.sr.weight"]),
+                              "bias": _np(sd[f"{t}.attn.sr.bias"])}
+                attn["sr_norm"] = _ln(sd, f"{t}.attn.norm")
+            params[f"stage{st}_block{b}"] = {
+                "norm1": _ln(sd, f"{t}.norm1"),
+                "norm2": _ln(sd, f"{t}.norm2"),
+                "attn": attn,
+                "mlp": {
+                    "fc1": _dense(sd, f"{t}.mlp.fc1"),
+                    "dwconv": {"kernel": _dwconv(sd[f"{t}.mlp.dwconv.dwconv.weight"]),
+                               "bias": _np(sd[f"{t}.mlp.dwconv.dwconv.bias"])},
+                    "fc2": _dense(sd, f"{t}.mlp.fc2"),
+                },
+            }
+        params[f"norm{st}"] = _ln(sd, f"norm{st}")
+    return params, {}
+
+
+def _convnext_tree(sd: Mapping[str, Any], depths, use_grn: bool) -> tuple[dict, dict]:
+    """timm ``convnext(v2)_*`` naming -> our ConvNeXtEncoder tree."""
+    params: dict = {
+        "stem_conv": {"kernel": _conv(sd["stem.0.weight"]),
+                      "bias": _np(sd["stem.0.bias"])},
+        "stem_norm": _ln(sd, "stem.1"),
+    }
+    for i in range(4):
+        if i > 0:
+            params[f"downsample_norm{i}"] = _ln(sd, f"stages.{i}.downsample.0")
+            params[f"downsample_conv{i}"] = {
+                "kernel": _conv(sd[f"stages.{i}.downsample.1.weight"]),
+                "bias": _np(sd[f"stages.{i}.downsample.1.bias"])}
+        for b in range(depths[i]):
+            t = f"stages.{i}.blocks.{b}"
+            blk = {
+                "dwconv": {"kernel": _dwconv(sd[f"{t}.conv_dw.weight"]),
+                           "bias": _np(sd[f"{t}.conv_dw.bias"])},
+                "norm": _ln(sd, f"{t}.norm"),
+                "pwconv1": _dense(sd, f"{t}.mlp.fc1"),
+                "pwconv2": _dense(sd, f"{t}.mlp.fc2"),
+            }
+            if use_grn:
+                blk["grn"] = {"gamma": _np(sd[f"{t}.mlp.grn.weight"]).reshape(-1),
+                              "beta": _np(sd[f"{t}.mlp.grn.bias"]).reshape(-1)}
+            else:
+                blk["gamma"] = _np(sd[f"{t}.gamma"]).reshape(-1)
+            params[f"stage{i}_block{b}"] = blk
+    return params, {}
