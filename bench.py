@@ -49,7 +49,8 @@ def main():
 
     model, _ = create_model("UnetPlusPlus",
                             encoder_name="tu-mobilenetv3_small_100",
-                            classes=classes)
+                            classes=classes,
+                            packed=True)  # packed-halo fused decoder kernels
     pre = get_preprocessing("tu-mobilenetv3_small_100")
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         # param shapes are spatial-size independent — init at 64×64 for speed

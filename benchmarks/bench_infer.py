@@ -28,7 +28,8 @@ def main():
     from mmr_tpu.models.factory import get_preprocessing
 
     model, _ = create_model("UnetPlusPlus",
-                            encoder_name="tu-mobilenetv3_small_100", classes=10)
+                            encoder_name="tu-mobilenetv3_small_100", classes=10,
+                            packed=True)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init({"params": jax.random.key(0)},
                                jnp.zeros((1, 64, 64, 3), jnp.float32),

@@ -33,7 +33,7 @@ def main():
     mesh = create_mesh()
     model, _ = create_model("UnetPlusPlus",
                             encoder_name="tu-mobilenetv3_small_100",
-                            classes=classes)
+                            classes=classes, packed=True)
     pre = get_preprocessing("tu-mobilenetv3_small_100")
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init({"params": jax.random.key(0)},

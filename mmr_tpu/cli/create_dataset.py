@@ -16,13 +16,21 @@ def main(argv=None):
     parser.add_argument("out_path", type=str)
     parser.add_argument("n_classes", type=int)
     parser.add_argument("patch_size", type=str, help='e.g. "[512,640]"')
+    parser.add_argument("--n_videos", type=int, default=None,
+                        help="convert only the first N videos (mini-dataset "
+                             "workflow, Mini_Dataset_ZarrFile.ipynb)")
+    parser.add_argument("--write_split", action="store_true",
+                        help="write a hand-made train/val split JSON over "
+                             "the converted videos (mini-dataset workflow)")
     args = parser.parse_args(argv)
 
     from mmr_tpu.config.config import safe_eval
     from mmr_tpu.data.convert import convert_zip_dataset
 
     patch = safe_eval(args.patch_size)
-    out = convert_zip_dataset(args.zip_path, args.out_path, args.n_classes, patch)
+    out = convert_zip_dataset(args.zip_path, args.out_path, args.n_classes,
+                              patch, n_videos=args.n_videos,
+                              write_split=args.write_split)
     print(f"Dataset written to {out}")
     return 0
 

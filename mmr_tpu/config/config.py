@@ -37,6 +37,7 @@ ALLOWED_TRAINING_ARGS = [
     "val_plot_interval", "grad_clip_max_norm", "grad_accumulate_step",
     # TPU-native extras
     "seed", "precision", "mesh_data", "steps_per_epoch", "val_steps_per_epoch",
+    "profile_epochs",
 ]
 ALLOWED_TESTING_ARGS = [
     "infer_batch_size", "infer_num_workers", "sw_batch_size", "sw_overlap",

@@ -88,9 +88,16 @@ def convert_zip_dataset(
     n_classes: int,
     patch_size,
     seed: int = 0,
+    n_videos: int | None = None,
+    write_split: bool = False,
 ) -> Path:
     """ZIP (nested per-video zips) or directory of video folders → Zarr
-    dataset at ``<out>/data/data_NNN.zarr``."""
+    dataset at ``<out>/data/data_NNN.zarr``.
+
+    ``n_videos`` limits conversion to the first N videos and
+    ``write_split`` hand-writes a train/val split JSON over them — the
+    mini-dataset workflow of ``Mini_Dataset_ZarrFile.ipynb`` (repack N
+    videos + manual split file) as a first-class tool."""
     zip_path = Path(zip_path)
     out_root = Path(out_path)
     (out_root / "data").mkdir(parents=True, exist_ok=True)
@@ -117,9 +124,14 @@ def convert_zip_dataset(
                 cap.release()
         index += 1
 
+    def at_limit() -> bool:
+        return n_videos is not None and index >= n_videos
+
     if zip_path.is_dir():
         # direct-folder branch (Data_Loader.py:489): video_dir/{*.avi,segmentation/*.png}
         for vdir in sorted(p for p in zip_path.iterdir() if p.is_dir()):
+            if at_limit():
+                break
             avis = list(vdir.glob("*.avi"))
             masks = {k: str(v) for k, v in
                      _mask_frame_mapping([str(p) for p in vdir.rglob("*.png")]).items()}
@@ -139,6 +151,8 @@ def convert_zip_dataset(
             inner_zips = [n for n in outer.namelist() if n.endswith(".zip")]
             if inner_zips:  # nested-zip branch (Data_Loader.py:675-681)
                 for inner_name in sorted(inner_zips):
+                    if at_limit():
+                        break
                     print(f"Processing {inner_name}")
                     try:
                         with zipfile.ZipFile(
@@ -148,7 +162,30 @@ def convert_zip_dataset(
                         print(f"    Skipping {inner_name}: {e}")
             else:
                 handle_video_zip(outer, zip_path.name)
+    if write_split:
+        write_mini_split(out_root)
     return out_root
+
+
+def write_mini_split(out_root: str | Path, train_fraction: float = 0.8) -> Path:
+    """Hand-write the mini-dataset ``train_val_test_split.json`` over however
+    many videos were converted — the notebook's manual split cell
+    (``Mini_Dataset_ZarrFile.ipynb``: e.g. 8/2 or 4/1 train/val videos).
+    At least one video lands in val; test mirrors val (the notebook
+    evaluates the same held-out videos)."""
+    import json
+
+    out_root = Path(out_root)
+    ids = sorted(p.name.replace(".zarr", "")
+                 for p in (out_root / "data").glob("*.zarr"))
+    if not ids:
+        raise FileNotFoundError(f"no converted videos under {out_root}")
+    n_train = max(1, min(len(ids) - 1, int(round(len(ids) * train_fraction))))         if len(ids) > 1 else 1
+    split = {"train": ids[:n_train], "val": ids[n_train:] or ids[-1:],
+             "test": ids[n_train:] or ids[-1:]}
+    path = out_root / "train_val_test_split.json"
+    path.write_text(json.dumps(split, indent=2))
+    return path
 
 
 # ------------------------------------------------------------ Path A tooling

@@ -76,9 +76,17 @@ def sliding_window_inference(
     n_windows = len(coords)
 
     if mode == "gaussian":
-        imp = jnp.asarray(gaussian_importance_map((rh, rw)))
+        imp_np = gaussian_importance_map((rh, rw))
     else:
-        imp = jnp.ones((rh, rw), jnp.float32)
+        imp_np = np.ones((rh, rw), np.float32)
+    imp = jnp.asarray(imp_np)
+    # the blending denominator is input-independent on the static grid —
+    # build it host-side once instead of scatter-accumulating per window
+    # (halves the on-device blend traffic)
+    wsum_np = np.zeros((h, w, 1), np.float32)
+    for (y, x) in coords:
+        wsum_np[y:y + rh, x:x + rw, 0] += imp_np
+    inv_wsum = jnp.asarray(1.0 / np.maximum(wsum_np, 1e-8))
 
     # pad window count to a multiple of sw_batch_size (static)
     n_pad = -(-n_windows // sw_batch_size) * sw_batch_size
@@ -90,8 +98,7 @@ def sliding_window_inference(
     mask_j = pad_mask.reshape(-1, sw_batch_size)
 
     def one_image(img):
-        def batch_step(carry, xs_):
-            out_sum, w_sum = carry
+        def batch_step(out_sum, xs_):
             cbatch, valid = xs_
 
             def extract(cy_cx):
@@ -100,27 +107,21 @@ def sliding_window_inference(
             windows = jax.vmap(extract)(cbatch)  # (B, rh, rw, C)
             logits = predictor(windows).astype(jnp.float32)
 
-            def scatter(carry2, j):
-                o, wsum = carry2
+            def scatter(o, j):
                 y, x = cbatch[j, 0], cbatch[j, 1]
-                wmap = imp * valid[j]
-                patch = logits[j] * wmap[..., None]
+                patch = logits[j] * (imp * valid[j])[..., None]
                 o = jax.lax.dynamic_update_slice(
                     o, jax.lax.dynamic_slice(o, (y, x, 0), (rh, rw, num_classes)) + patch,
                     (y, x, 0))
-                wsum = jax.lax.dynamic_update_slice(
-                    wsum, jax.lax.dynamic_slice(wsum, (y, x, 0), (rh, rw, 1)) + wmap[..., None],
-                    (y, x, 0))
-                return (o, wsum), None
+                return o, None
 
-            (out_sum, w_sum), _ = jax.lax.scan(
-                scatter, (out_sum, w_sum), jnp.arange(sw_batch_size))
-            return (out_sum, w_sum), None
+            out_sum, _ = jax.lax.scan(
+                scatter, out_sum, jnp.arange(sw_batch_size))
+            return out_sum, None
 
-        init = (jnp.zeros((h, w, num_classes), jnp.float32),
-                jnp.zeros((h, w, 1), jnp.float32))
-        (out_sum, w_sum), _ = jax.lax.scan(batch_step, init, (coords_j, mask_j))
-        return out_sum / jnp.maximum(w_sum, 1e-8)
+        init = jnp.zeros((h, w, num_classes), jnp.float32)
+        out_sum, _ = jax.lax.scan(batch_step, init, (coords_j, mask_j))
+        return out_sum * inv_wsum
 
     return jax.vmap(one_image)(inputs)
 

@@ -107,3 +107,82 @@ class TrainingMonitor:
         out = self.results_path / "training_metrics.json"
         out.write_text(json.dumps(self.history, indent=2))
         return out
+
+
+# ------------------------------------------------------------ profiler trace
+
+class ProfilerTrace:
+    """Flag-gated ``jax.profiler`` capture — the TPU-native equivalent of the
+    reference's resource sampling (``Main_MMR_SegModel.py:203-251``;
+    SURVEY.md §5.1). Captures device op-level traces for a few steps into
+    ``<results>/profile`` (TensorBoard format).
+
+    Usage (Trainer wires this when ``config['profile_epochs']`` is set):
+
+        tracer = ProfilerTrace(results_path, epochs=(1,))
+        tracer.maybe_start(epoch); ...train...; tracer.maybe_stop(epoch)
+    """
+
+    def __init__(self, results_path, epochs=(1,), enabled: bool = True):
+        from pathlib import Path as _P
+
+        self.dir = _P(results_path) / "profile"
+        self.epochs = set(int(e) for e in epochs)
+        self.enabled = bool(enabled) and bool(self.epochs)
+        self._active = False
+
+    def maybe_start(self, epoch: int) -> bool:
+        if not self.enabled or epoch not in self.epochs or self._active:
+            return False
+        import jax
+
+        self.dir.mkdir(parents=True, exist_ok=True)
+        jax.profiler.start_trace(str(self.dir))
+        self._active = True
+        return True
+
+    def maybe_stop(self, epoch: int) -> bool:
+        if not self._active:
+            return False
+        import jax
+
+        jax.profiler.stop_trace()
+        self._active = False
+        return True
+
+
+def model_summary(model, variables, input_shape=(1, 64, 64, 3)) -> str:
+    """Layer-wise parameter table — the reference's torchinfo/torchsummary
+    surface (``Main_MMR_SegModel.py:1130-1132``,
+    ``Visualization_Segment_Prediction.py:237-244``): per-module param counts
+    plus the total, from the variables tree."""
+    import numpy as np
+    import jax
+
+    rows = []
+
+    def walk(tree, prefix, depth):
+        total = 0
+        children = []
+        for k, v in sorted(tree.items()):
+            if isinstance(v, dict):
+                sub = walk(v, f"{prefix}/{k}" if prefix else k, depth + 1)
+                total += sub
+            else:
+                total += int(np.prod(np.shape(v)))
+        if depth <= 2 and prefix:
+            rows.append((prefix, total))
+        return total
+
+    total = walk(variables.get("params", variables), "", 0)
+    width = max([len(r[0]) for r in rows] + [20])
+    lines = ["=" * (width + 16),
+             f"{'Layer':<{width}}  {'Param #':>12}",
+             "=" * (width + 16)]
+    for name, n in rows:
+        if "/" not in name:  # top-level modules after their children
+            lines.append(f"{name:<{width}}  {n:>12,}")
+    lines.append("=" * (width + 16))
+    lines.append(f"{'Total params':<{width}}  {total:>12,}")
+    lines.append("=" * (width + 16))
+    return "\n".join(lines)

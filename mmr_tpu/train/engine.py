@@ -30,7 +30,7 @@ from mmr_tpu.data.pipeline import PrefetchIterator, microbatch_stacker
 from mmr_tpu.losses import dice_ce_loss
 from mmr_tpu.models import create_model
 from mmr_tpu.models.factory import get_preprocessing
-from mmr_tpu.monitor import TrainingMonitor, save_losses, save_dashboard, save_triptychs
+from mmr_tpu.monitor import TrainingMonitor, save_losses, save_dashboard, save_triptychs, ProfilerTrace, model_summary
 from mmr_tpu.train.checkpoint import CheckpointManager
 from mmr_tpu.train.optim import build_optimizer
 from mmr_tpu.train.schedules import build_lr_schedule
@@ -58,6 +58,13 @@ class Trainer:
         from mmr_tpu.core.precision import resolve as resolve_precision
 
         precision = resolve_precision(config.get("precision"))
+        if (arch.lower().replace("_", "").replace("+", "p") in
+                ("unetplusplus", "unetpp", "smpunetpp") or
+                arch.lower() in ("unetplusplus", "unet++")) and \
+                jax.default_backend() in ("tpu", "axon"):
+            # run the UNet++ decoder through the packed-halo fused kernels on
+            # TPU (same params; ops/pallas/packed_chain.py)
+            model_cfg.setdefault("packed", True)
         self.model, self._weights_hook = create_model(
             arch, encoder_name=self.encoder_name, encoder_weights=encoder_weights,
             classes=self.n_classes, dtype=precision.compute_dtype, **model_cfg)
@@ -230,15 +237,29 @@ class Trainer:
                        for p in jax.tree_util.tree_leaves(self.state.params))
         self.monitor.log_message(
             f"Model: {self.config['model']} — {n_params / 1e6:.2f}M params")
+        # layer-wise summary — the reference's torchinfo surface
+        # (Main_MMR_SegModel.py:1130-1132)
+        self.monitor.log_message(
+            "Model Architecture Summary:\n"
+            + model_summary(self.model, {"params": self.state.params}))
+        # flag-gated jax.profiler capture (SURVEY.md §5.1)
+        profile_epochs = self.config.get("profile_epochs") or ()
+        self._tracer = ProfilerTrace(self.results_path, epochs=profile_epochs,
+                                     enabled=bool(profile_epochs))
         self.monitor.start_training()
         val_plot_interval = int(self.config.get("val_plot_interval", 5))
         plots_dir = self.results_path / "plots"
 
         for epoch in range(self.start_epoch, self.n_epochs + 1):
             self.monitor.start_epoch(epoch)
+            if self._tracer.maybe_start(epoch):
+                self.monitor.log_message(
+                    f"jax.profiler trace capturing epoch {epoch} -> "
+                    f"{self._tracer.dir}")
             lr = self.lr_schedule(epoch - 1)
             train_loss, train_iou, n_samples = self.train_one_epoch(
                 train_sampler, epoch, lr)
+            self._tracer.maybe_stop(epoch)
             want_plot = val_plot_interval > 0 and epoch % val_plot_interval == 0
             val_loss, val_iou, per_class_iou, sample = self.validate_one_epoch(
                 val_sampler, epoch, want_samples=want_plot)
