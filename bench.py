@@ -16,6 +16,11 @@ stack on A100-40GB: ≈84 GFLOPs/frame train cost (35.19 GMACs @ 512×640 fwd,
 ×3 for fwd+bwd, rescaled to 512×512); PyTorch AMP conv nets with 16–96
 channels underfill tensor cores — ~8–12 TFLOPS effective → ≈120 frames/s.
 ``vs_baseline`` = measured / 120.
+
+The model here is the smp-exact flagship (3,714,090 params, golden-tested)
+running the packed-domain fused decoder; docs/PERF.md carries the measured
+machine ceilings (~167 GB/s streaming, ~41 TFLOP/s bf16 on this tunnel
+device — ≈5× below v5e paper specs) and the step's roofline decomposition.
 """
 
 from __future__ import annotations

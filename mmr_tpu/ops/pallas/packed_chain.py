@@ -126,9 +126,29 @@ def from_packed(xp, g: RowGeom, c: int):
 
 
 def upsample2x_packed(xp, g_src: RowGeom, c: int, g_dst: RowGeom):
-    """Nearest x2 upsample between packed rows (unpack->dup->repack, one
-    fused XLA chain; elementwise prologues commute with nearest upsampling
-    so pending BN/ReLU can still be applied by the consumer)."""
+    """Nearest x2 upsample between packed rows; elementwise prologues commute
+    with nearest upsampling so pending BN/ReLU can still be applied by the
+    consumer.
+
+    Fast path (same packing factor, even p): the duplication happens in lane
+    space — dst block 2k+half duplicates the pixels of src block k's half —
+    so the tensor never round-trips through NHWC (the unpack/repack relayouts
+    cost ~2x the ideal traffic). Falls back to unpack->dup->repack when
+    geometries disagree."""
+    if (g_dst.p == g_src.p and g_src.p % 2 == 0
+            and g_dst.h == 2 * g_src.h and g_dst.w == 2 * g_src.w):
+        p, cp = g_src.p, g_src.cp(c)
+        b = xp.shape[0]
+        h, wb = g_src.h, g_src.wb
+        core = xp[:, 1:-1, 1:wb + 1, :]
+        a = core.reshape(b, h, wb, 2, p // 2, cp)
+        a = jnp.broadcast_to(a[:, :, :, :, :, None, :],
+                             (b, h, wb, 2, p // 2, 2, cp))
+        a = a.reshape(b, h, 2 * wb, p * cp)
+        a = jnp.broadcast_to(a[:, :, None], (b, h, 2, 2 * wb, p * cp))
+        a = a.reshape(b, 2 * h, 2 * wb, p * cp)
+        return jnp.pad(a, [(0, 0), (1, 1),
+                           (1, g_dst.wbp - g_dst.wb - 1), (0, 0)])
     x = from_packed(xp, g_src, c)
     b, h, w, _ = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
