@@ -237,3 +237,37 @@ class TestPackedUnetPP:
         s_pk = m_pk["batch_stats"]["x_0_3"]["conv1"]["bn"]["mean"]
         np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_std),
                                    atol=0.05, rtol=0.1)
+
+
+def test_bwd_input_group_split_matches_unsplit(rng, monkeypatch):
+    """When a node's backward doesn't fit VMEM, inputs are processed in
+    groups (each re-reading dy) — gradients must match the unsplit path
+    exactly (this is the path wide-concat nodes like the 576-channel x_0_0
+    take on hardware)."""
+    B, H, W, CO = 1, 8, 32, 8
+    cins = [8, 16, 8]
+    g = pc.row_geom(H, W)
+    xs = tuple(jnp.asarray(rng.randn(B, H, W, c).astype(np.float32),
+                           jnp.bfloat16) for c in cins)
+    ws = tuple(jnp.asarray(rng.randn(3, 3, c, CO).astype(np.float32) * 0.1)
+               for c in cins)
+    r = jnp.asarray(rng.randn(B, H, W, CO).astype(np.float32))
+
+    def loss(xs, ws):
+        cfg = make_cfg(g, cins, CO, [False] * 3, emit_moments=True)
+        tees = tees_for(g, ws, CO)
+        y_p, mom = pc.fused_conv(cfg, pack_all(g, xs), tees,
+                                 (None,) * 3, None)
+        y = pc.from_packed(y_p, g, CO).astype(jnp.float32)
+        return jnp.sum(y * r) + jnp.sum(mom) * 1e-3
+
+    g_full = jax.grad(loss, argnums=(0, 1))(xs, ws)
+    # shrink the budget so cfg.fits(backward=True) fails -> group split
+    monkeypatch.setattr(pc, "_VMEM_BUDGET", 1_600_000)
+    cfg_probe = make_cfg(g, cins, CO, [False] * 3, emit_moments=True)
+    assert not cfg_probe.fits(backward=True), "budget still fits; test moot"
+    g_split = jax.grad(loss, argnums=(0, 1))(xs, ws)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_split)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-3)
