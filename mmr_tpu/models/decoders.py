@@ -199,7 +199,7 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         factor is the largest p whose worst node fits the fwd VMEM budget."""
         import mmr_tpu.ops.pallas.packed_chain as pc
         from mmr_tpu.models.packed_blocks import (
-            PackedConvBN, PackedT, upsample_packed)
+            PackedConvBN, PackedT, pack_up_lazy, upsample_packed)
 
         assert not self.deep_supervision, "packed path: deep_supervision off"
 
@@ -273,7 +273,8 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
             if isinstance(x_in, PackedT):
                 x_up = upsample_packed(x_in, g)
             else:
-                x_up = pack_into(upsample2x(x_in, "nearest"), g)
+                x_up = pack_up_lazy(x_in, g) \
+                    or pack_into(upsample2x(x_in, "nearest"), g)
             inputs = [x_up] + [as_packed(s, g) for s in skips]
 
             class _Node(nn.Module):

@@ -30,20 +30,45 @@ class PackedT:
 
     ``data`` is raw/pre-BN; ``pro`` is per-channel (2, C) f32 (scale, shift)
     to be applied (with ReLU) by whichever kernel consumes it, or None.
+
+    When ``geom_src`` is set the tensor is a *lazy ×2-nearest-upsample*:
+    ``data`` is stored at the coarse ``geom_src`` geometry and consumers
+    apply phase-dependent up-taps (``packed_chain.toeplitz_up``) so the fine
+    tensor never materializes in HBM.
     """
 
     data: jnp.ndarray
     pro: Optional[jnp.ndarray]
     c: int = struct.field(pytree_node=False)
     geom: pc.RowGeom = struct.field(pytree_node=False)
+    geom_src: Optional[pc.RowGeom] = struct.field(pytree_node=False,
+                                                  default=None)
 
     def unpack(self):
-        x = pc.from_packed(self.data, self.geom, self.c)
+        g = self.geom_src or self.geom
+        x = pc.from_packed(self.data, g, self.c)
         if self.pro is not None:
             s = self.pro[0].astype(x.dtype)
             t = self.pro[1].astype(x.dtype)
             x = jnp.maximum(x * s + t, 0)
+        if self.geom_src is not None:  # materialize the pending upsample
+            b, h, w, c = x.shape
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (b, h, 2, w, 2, c)).reshape(
+                b, 2 * h, 2 * w, c)
         return x
+
+
+def pack_up_lazy(x, g_dst: pc.RowGeom) -> Optional[PackedT]:
+    """Pack a plain source-resolution array (h/2, w/2) for lazy fused
+    ×2-upsample into ``g_dst`` consumers, or None when no compatible source
+    geometry exists (odd packing factor)."""
+    if g_dst.p % 2:
+        return None
+    g_src = pc.RowGeom(g_dst.h // 2, g_dst.w // 2, g_dst.p // 2, g_dst.wb,
+                       g_dst.wbp)
+    return PackedT(pc.to_packed(x, g_src), None, x.shape[-1], g_dst,
+                   geom_src=g_src)
 
 
 def pack_plain(x, main_c: int | None = None) -> PackedT:
@@ -143,22 +168,33 @@ class PackedConvBN(nn.Module):
                           jnp.bfloat16)
             mom = jnp.zeros((2, g.lanes(self.out_ch)), jnp.float32) if emit else None
         else:
-            tees, pros, datas = [], [], []
+            tees, pros, datas, specs, lanes = [], [], [], [], []
             off = 0
             for t in inputs:
                 w_j = jax.lax.slice_in_dim(kernel, off, off + t.c, axis=2)
                 off += t.c
-                tees.append(_toeplitz(w_j, g.p, g.cp(t.c), cop))
-                pros.append(None if t.pro is None
-                            else _pro_lanes(t.pro, g.p, g.cp(t.c)))
+                if t.geom_src is not None:  # lazy ×2-upsampled input
+                    gs = t.geom_src
+                    tees.append(w_j)  # raw kernel; engine builds/folds taps
+                    specs.append(pc.up_spec_for(gs, g, t.c))
+                    lanes.append(gs.lanes(t.c))
+                    pros.append(None if t.pro is None
+                                else _pro_lanes(t.pro, gs.p, gs.cp(t.c)))
+                else:
+                    tees.append(_toeplitz(w_j, g.p, g.cp(t.c), cop))
+                    specs.append(None)
+                    lanes.append(g.lanes(t.c))
+                    pros.append(None if t.pro is None
+                                else _pro_lanes(t.pro, g.p, g.cp(t.c)))
                 datas.append(t.data)
             cfg = pc.FusedCfg(
                 geom=g,
-                l_list=tuple(g.lanes(t.c) for t in inputs),
+                l_list=tuple(lanes),
                 lo=g.lanes(self.out_ch),
                 pro_mask=tuple(p is not None for p in pros),
                 has_bias=not self.use_bn,
-                emit_moments=emit)
+                emit_moments=emit,
+                up_spec=tuple(specs))
             y, mom = pc.fused_conv(cfg, tuple(datas), tuple(tees),
                                    tuple(pros), bias_l)
 
@@ -171,7 +207,15 @@ class PackedConvBN(nn.Module):
 
 
 def upsample_packed(t: PackedT, g_dst: pc.RowGeom) -> PackedT:
-    """Nearest x2 upsample into the destination row's geometry; the pending
-    prologue commutes (elementwise)."""
-    data = pc.upsample2x_packed(t.data, t.geom, t.c, g_dst)
-    return PackedT(data, t.pro, t.c, g_dst)
+    """Nearest ×2 upsample into the destination row's geometry; the pending
+    prologue commutes (elementwise).
+
+    When the geometries are tap-compatible this is LAZY: the data stays at
+    source resolution and the consumer kernel absorbs the upsample into its
+    Toeplitz taps (no HBM materialization). Falls back to materializing."""
+    if t.geom_src is None and pc.up_compatible(t.geom, g_dst):
+        return PackedT(t.data, t.pro, t.c, g_dst, geom_src=t.geom)
+    src = t.data if t.geom_src is None else pc.to_packed(t.unpack(), t.geom)
+    data = pc.upsample2x_packed(src, t.geom, t.c, g_dst)
+    pro = t.pro if t.geom_src is None else None
+    return PackedT(data, pro, t.c, g_dst)

@@ -156,6 +156,179 @@ def upsample2x_packed(xp, g_src: RowGeom, c: int, g_dst: RowGeom):
     return to_packed(x, g_dst)
 
 
+# ------------------------------------------- fused ×2-upsample tap machinery
+#
+# A node input that is the ×2-nearest-upsample of a coarser tensor never
+# materializes at the fine resolution: the consumer kernel reads the SOURCE
+# packed tensor and applies phase-dependent rectangular Toeplitz taps.
+# Derivation: conv3x3(nearest_up2(x)) at dst row i reads exactly two src rows
+# floor((i-1)/2)+{0,1} with row-parity weight combos [W0, W1+W2] (even i) /
+# [W0+W1, W2] (odd i); columns are the same by symmetry. In packed-lane space
+# the (src pixel, dst pixel) pairs become rectangular (L_src, Lo) matrices
+# indexed by (ev, eh, sv, δ): dst-row parity, dst-block phase, src-row slot,
+# src-block offset. This removes the upsampled tensor's HBM round-trip and
+# cuts the up-input's MXU work ~2× (16 quarter-size vs 9 full-size matmuls).
+
+_A_PARITY = (((1.0, 0.0, 0.0), (0.0, 1.0, 1.0)),   # even rows: [W0, W1+W2]
+             ((1.0, 1.0, 0.0), (0.0, 0.0, 1.0)))   # odd rows:  [W0+W1, W2]
+
+
+def up_compatible(g_src: RowGeom, g_dst: RowGeom) -> bool:
+    """Can conv-over-×2-upsample of a g_src tensor run fused into a g_dst
+    consumer? Requires exact ×2 spatial ratio, dst rows/blocks pairing up
+    (r_b = wb_d/wb_s ∈ {1, 2}), and consistent pixel packing."""
+    if g_dst.h != 2 * g_src.h or g_dst.w != 2 * g_src.w:
+        return False
+    if g_dst.wb % g_src.wb:
+        return False
+    r_b = g_dst.wb // g_src.wb
+    # wb_d = r_b·wb_s and w_d = 2·w_s force p_d·r_b = 2·p_s
+    return r_b in (1, 2) and g_dst.p * r_b == 2 * g_src.p
+
+
+@functools.lru_cache(maxsize=None)
+def _up_deltas(p_d: int, p_s: int, eh: int) -> tuple:
+    ds = set()
+    for q in range(p_d):
+        for sh in (0, 1):
+            t = (eh * p_d + q - 1) // 2 + sh
+            ds.add(t // p_s)
+    return tuple(sorted(ds))
+
+
+@functools.lru_cache(maxsize=None)
+def up_mats(p_d: int, p_s: int, r_b: int) -> tuple:
+    """Canonical (ev, eh, sv, δ) order of the stacked up-tap matrices."""
+    out = []
+    for ev in (0, 1):
+        for eh in range(r_b):
+            for sv in (0, 1):
+                for d in _up_deltas(p_d, p_s, eh):
+                    out.append((ev, eh, sv, d))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _up_scatter_np(p_d: int, p_s: int, r_b: int):
+    """0/1 scatter tensor M[mat, qs, q, a, b]: tap (a, b) of the 3×3 kernel
+    lands at (src pixel qs, dst pixel q) of matrix ``mat``."""
+    import numpy as np
+
+    mats = up_mats(p_d, p_s, r_b)
+    idx = {m: i for i, m in enumerate(mats)}
+    a_par = np.asarray(_A_PARITY)  # [parity][slot][tap]
+    m = np.zeros((len(mats), p_s, p_d, 3, 3), np.float32)
+    for ev in (0, 1):
+        for eh in range(r_b):
+            for sv in (0, 1):
+                for q in range(p_d):
+                    ph = q % 2  # dst-column parity
+                    for sh in (0, 1):
+                        t = (eh * p_d + q - 1) // 2 + sh
+                        d = t // p_s
+                        qs = t - d * p_s
+                        mi = idx[(ev, eh, sv, d)]
+                        # weight = Σ_{a,b} A[ev][sv,a]·A[ph][sh,b]·W[a,b]
+                        for a in range(3):
+                            for b in range(3):
+                                m[mi, qs, q, a, b] += (
+                                    a_par[ev][sv][a] * a_par[ph][sh][b])
+    return m
+
+
+def toeplitz_up(w3, g_src: RowGeom, g_dst: RowGeom):
+    """(3,3,Cin,Cout) -> stacked up-taps (n_mats, L_src, Lo) bf16.
+
+    Built with one einsum against a static 0/1 scatter (differentiable; the
+    VJP folds dT back to dW as the adjoint einsum — no scatter storm)."""
+    cin, cout = w3.shape[2], w3.shape[3]
+    p_d, p_s = g_dst.p, g_src.p
+    cp_s, cop = g_src.cp(cin), g_dst.cp(cout)
+    r_b = g_dst.wb // g_src.wb
+    m = jnp.asarray(_up_scatter_np(p_d, p_s, r_b))
+    t = jnp.einsum("msqab,abio->msiqo", m, w3.astype(jnp.float32))
+    t = jnp.pad(t, [(0, 0), (0, 0), (0, cp_s - cin), (0, 0), (0, cop - cout)])
+    return t.reshape(t.shape[0], p_s * cp_s, p_d * cop).astype(jnp.bfloat16)
+
+
+def up_spec_for(g_src: RowGeom, g_dst: RowGeom, c: int):
+    """Static per-input descriptor carried in FusedCfg.up_spec."""
+    r_b = g_dst.wb // g_src.wb
+    return (g_src.p, g_src.wb, g_src.wbp, r_b,
+            up_mats(g_dst.p, g_src.p, r_b))
+
+
+def _src_geom(cfg, j) -> RowGeom:
+    p_s, wb_s, wbp_s, _, _ = cfg.ups[j]
+    g = cfg.geom
+    return RowGeom(g.h // 2, g.w // 2, p_s, wb_s, wbp_s)
+
+
+# --- backward-side constants (parity-free formulation) --------------------
+#
+# The up-input backward avoids sublane-parity deinterleaves of dy (slow in
+# Mosaic): the kernel row-duplicates the activated SRC tile (free untiled
+# merge), runs the STANDARD 9-tap dW loop against it, and computes dx with
+# either column-folded transposed taps (r_b=1: dst block ↔ src block 1:1) or
+# dup-matrix matmuls + block-parity select + pair-sums (r_b=2).
+
+@functools.lru_cache(maxsize=None)
+def _tx_scatter_np(p_d: int, p_s: int):
+    """M[δ'+1, q_dst, q_src, b]: weight tap b routes dst pixel q_dst to src
+    pixel q_src of block offset δ' in the transposed (dx) direction."""
+    import numpy as np
+
+    m = np.zeros((3, p_d, p_s, 3), np.float32)
+    for q in range(p_d):
+        for b in range(3):
+            t = (q + b - 1) // 2
+            d = t // p_s
+            m[d + 1, q, t - d * p_s, b] += 1.0
+    return m
+
+
+def tx_up(w3, g_src: RowGeom, g_dst: RowGeom):
+    """Column-folded transposed taps for r_b=1 dx: (3, 3, p_d·cop, p_s·cp_s).
+    Row taps stay the standard a∈{0,1,2} offsets (the row duplication is
+    folded by a pair-sum in the kernel)."""
+    cin, cout = w3.shape[2], w3.shape[3]
+    cp_s, cop = g_src.cp(cin), g_dst.cp(cout)
+    m = jnp.asarray(_tx_scatter_np(g_dst.p, g_src.p))
+    t = jnp.einsum("dqsb,abio->adqosi", m, w3.astype(jnp.float32))
+    t = jnp.pad(t, [(0, 0), (0, 0), (0, 0), (0, cop - cout), (0, 0),
+                    (0, cp_s - cin)])
+    return t.reshape(3, 3, g_dst.p * cop, g_src.p * cp_s).astype(jnp.bfloat16)
+
+
+def fold_up_dw_rb1(d, w_shape, g_src: RowGeom, g_dst: RowGeom):
+    """Adjoint of the r_b=1 dW accumulation: the kernel's D[a, δ+1] pairs
+    row-duplicated src slices with dy; fold the (src px, dst px) diagonals
+    back to (3,3,Cin,Cout)."""
+    _, _, cin, cout = w_shape
+    p_d, p_s = g_dst.p, g_src.p
+    cp_s, cop = g_src.cp(cin), g_dst.cp(cout)
+    m = jnp.asarray(_tx_scatter_np(p_d, p_s))
+    dd = d.reshape(3, 3, p_s, cp_s, p_d, cop)[:, :, :, :cin, :, :cout]
+    return jnp.einsum("dqsb,adsiqo->abio", m, dd)
+
+
+@functools.lru_cache(maxsize=None)
+def _dup_mats_np(p: int, cp: int):
+    """De/Do (L, L): lane-space maps src block → even/odd dst block for the
+    r_b=2 in-VMEM column duplication (dst pixel q reads src pixel q//2 or
+    p/2 + q//2)."""
+    import numpy as np
+
+    l = p * cp
+    de = np.zeros((l, l), np.float32)
+    do = np.zeros((l, l), np.float32)
+    for q in range(p):
+        for i in range(cp):
+            de[(q // 2) * cp + i, q * cp + i] = 1.0
+            do[(p // 2 + q // 2) * cp + i, q * cp + i] = 1.0
+    return de, do
+
+
 # ------------------------------------------------------------------ kernels
 
 def _halo_mask(i, th, wb, wbp, n_i):
@@ -177,8 +350,36 @@ def _prologue(tile, pro_ref, valid):
     return jnp.where(valid, v, 0.0).astype(jnp.bfloat16)
 
 
+def _up_fwd_contrib(tile, t_ref, pro_ref, spec, th, wb, lo, i, n_i):
+    """Fused ×2-upsample input's contribution to the dst accumulator.
+
+    ``tile`` is the SOURCE-resolution halo'd tile (th/2+2, wbp_s, L_s);
+    phase-tap matmuls produce the four (dst-row parity × dst-block phase)
+    quadrants which are interleaved back via sublane/row merges."""
+    p_s, wb_s, wbp_s, r_b, mats = spec
+    ths = th // 2
+    if pro_ref is not None:
+        valid = _halo_mask(i, ths, wb_s, wbp_s, n_i)
+        tile = _prologue(tile, pro_ref, valid)
+    parts = {}
+    for mi, (ev, eh, sv, dlt) in enumerate(mats):
+        sl = tile[ev + sv:ev + sv + ths, dlt + 1:dlt + 1 + wb_s, :]
+        c = jax.lax.dot_general(sl, t_ref[mi], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        parts[(ev, eh)] = parts[(ev, eh)] + c if (ev, eh) in parts else c
+    rows = []
+    for ev in (0, 1):
+        if r_b == 2:
+            z = jnp.stack([parts[(ev, 0)], parts[(ev, 1)]], axis=2)
+            z = z.reshape(ths, wb, lo)
+        else:
+            z = parts[(ev, 0)]
+        rows.append(z)
+    return jnp.stack(rows, axis=1).reshape(th, wb, lo)
+
+
 def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
-                      emit_moments, n_b):
+                      emit_moments, n_b, up_spec):
     """refs layout: [x_0..x_{J-1}] [T_0..T_{J-1}] [pro_j for j in pro_mask]
     [bias?] -> outs [y, moments?] then scratch [xt_0.., ystage, insem(J,2),
     outsem(2)]."""
@@ -212,8 +413,9 @@ def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
 
     def in_dma(j, slot, kk):
         bb, ii = kk // n_i, kk % n_i
+        tj = th // 2 if up_spec[j] is not None else th
         return pltpu.make_async_copy(
-            xs[j].at[bb, pl.ds(ii * th, th + 2)], xts[j].at[slot],
+            xs[j].at[bb, pl.ds(ii * tj, tj + 2)], xts[j].at[slot],
             insem.at[j, slot])
 
     @pl.when(k == 0)
@@ -242,19 +444,24 @@ def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
         top.wait()
         bot.wait()
 
-    valid = _halo_mask(i, th, wb, wbp, n_i) if any(pro_mask) else None
+    valid = _halo_mask(i, th, wb, wbp, n_i) if any(
+        m and up_spec[j] is None for j, m in enumerate(pro_mask)) else None
     acc = jnp.zeros((th, wb, lo), jnp.float32)
     for j in range(nj):
         in_dma(j, k % 2, k).wait()
         tile = xts[j][k % 2]
-        if j in pros:
-            tile = _prologue(tile, pros[j], valid)
-        for dy in range(3):
-            for dwb in range(3):
-                acc += jax.lax.dot_general(
-                    tile[dy:dy + th, dwb:dwb + wb, :], ts[j][dy, dwb],
-                    (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        if up_spec[j] is None:
+            if j in pros:
+                tile = _prologue(tile, pros[j], valid)
+            for dy in range(3):
+                for dwb in range(3):
+                    acc += jax.lax.dot_general(
+                        tile[dy:dy + th, dwb:dwb + wb, :], ts[j][dy, dwb],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            continue
+        acc += _up_fwd_contrib(tile, ts[j], pros.get(j), up_spec[j],
+                               th, wb, lo, i, n_i)
     if has_bias:
         acc = acc + bias[0][None, None, :]
     if emit_moments:
@@ -286,8 +493,94 @@ def _wait_copy(stage_ref, sem):
     pltpu.make_async_copy(stage_ref, stage_ref, sem).wait()
 
 
+def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
+                  dts_j, dups_j, pros, dpros, i, n_i):
+    """Backward for one fused-upsample input (parity-free formulation):
+    accumulates dT (+dpro) and returns the (th/2, wb_s, L_s) dx tile (grad
+    wrt the RAW src tensor).
+
+    - dW: row-duplicate the activated src tile (ur; free untiled merge),
+      for r_b=2 also column-duplicate via the De/Do lane matmuls, then run
+      the STANDARD 9-tap accumulation; the (src px ↔ dst px) diagonals are
+      folded outside the kernel.
+    - dx: standard 9-tap transposed pass over dy (taps pre-folded for
+      r_b=1; plain transposed dst taps for r_b=2 followed by the dup-matrix
+      adjoint via block-parity select), then row/block pair-sums down to
+      source resolution.
+    """
+    p_s, wb_s, wbp_s, r_b, _ = spec
+    ths = th // 2
+    l_s = x_tile.shape[-1]
+
+    if j in pros:
+        valid_s = _halo_mask(i, ths, wb_s, wbp_s, n_i)
+        a_tile = _prologue(x_tile, pros[j], valid_s)
+    else:
+        a_tile = x_tile
+
+    # ur: rows [S0, S1,S1, ..., Sths,Sths, S_{ths+1}] — (th+2, wbp_s, L_s)
+    core = a_tile[1:ths + 1]
+    ur = jnp.concatenate(
+        [a_tile[0:1],
+         jnp.stack([core, core], axis=1).reshape(th, wbp_s, l_s),
+         a_tile[ths + 1:ths + 2]], axis=0)
+    if r_b == 1:
+        u2 = ur  # dst block ↔ src block; wbp_s == wbp
+    else:
+        de, do = dups_j[0][...], dups_j[1][...]
+        pe = jax.lax.dot_general(ur, de, (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        po = jax.lax.dot_general(ur, do, (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        big = jnp.stack([pe, po], axis=2).reshape(th + 2, 2 * wbp_s, l_s)
+        u2 = big[:, 1:1 + wbp, :].astype(jnp.bfloat16)
+
+    # dW: standard 9-tap accumulation against the duplicated tile
+    for a in range(3):
+        for dwb in range(3):
+            a2 = u2[a:a + th, dwb:dwb + wb, :].astype(jnp.bfloat16).reshape(
+                th * wb, l_s)
+            dts_j[a, dwb] += jax.lax.dot_general(
+                a2, dy_flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # dx: transposed 9-tap pass at dst rows (tts_j pre-flipped like the
+    # standard path), then fold down to src
+    g = jnp.zeros((th, wb, l_s), jnp.float32)
+    for dyy in range(3):
+        for dwb in range(3):
+            g += jax.lax.dot_general(
+                dy_bf[dyy:dyy + th, dwb:dwb + wb, :], tts_j[dyy, dwb],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    if r_b == 2:
+        det, dot = dups_j[2][...], dups_j[3][...]
+        gb = g.astype(jnp.bfloat16)
+        qe = jax.lax.dot_general(gb, det, (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qo = jax.lax.dot_general(gb, dot, (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (th, wb, l_s), 1)
+        g = jnp.where(bi % 2 == 0, qe, qo)
+        gq = g.reshape(th, wb_s, 2, l_s)
+        g = gq[:, :, 0, :] + gq[:, :, 1, :]
+    gr = g.reshape(ths, 2, wb_s, l_s)
+    ga = gr[:, 0] + gr[:, 1]
+
+    if j in pros:
+        xi = x_tile[1:1 + ths, 1:1 + wb_s, :].astype(jnp.float32)
+        s = pros[j][0][None, None, :]
+        t = pros[j][1][None, None, :]
+        mask = (xi * s + t > 0.0).astype(jnp.float32)
+        gm = ga * mask
+        dpros[j][0, :] += jnp.sum(gm * xi, axis=(0, 1))
+        dpros[j][1, :] += jnp.sum(gm, axis=(0, 1))
+        ga = gm * s
+    return ga
+
+
 def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
-                      has_bias, emit_moments, n_b):
+                      has_bias, emit_moments, n_b, up_spec):
     """refs: [dy, y?] [x_0..] [Tt_0..] [pro_j..] [dm?]
     outs: [dx_0..] [dT_0..] [dpro_j..] [dbias?]
     scratch: [dyt, yt?, xt_0.., dxstage_0.., zstage, insem, outsem,
@@ -303,6 +596,10 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
     for j, m in enumerate(pro_mask):
         if m:
             pros[j] = r.pop(0)
+    dups = {}
+    for j, u in enumerate(up_spec):
+        if u is not None and u[3] == 2:
+            dups[j] = (r.pop(0), r.pop(0), r.pop(0), r.pop(0))
     dm = r.pop(0) if emit_moments else None
     # outputs
     dxs = [r.pop(0) for _ in range(nj)]
@@ -326,18 +623,22 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
     k = b * n_i + i
     total = n_b * n_i
 
-    def dma_in(src, dst, sem_slot, slot, kk):
+    def dma_in(src, dst, sem_slot, slot, kk, tj=th):
         bb, ii = kk // n_i, kk % n_i
         return pltpu.make_async_copy(
-            src.at[bb, pl.ds(ii * th, th + 2)], dst.at[slot],
+            src.at[bb, pl.ds(ii * tj, tj + 2)], dst.at[slot],
             insem.at[sem_slot, slot])
+
+    def rows_of(j):
+        return th // 2 if up_spec[j] is not None else th
 
     def start_all(slot, kk):
         dma_in(dy_hbm, dyt, 0, slot, kk).start()
         if emit_moments:
             dma_in(y_hbm, yt, 1, slot, kk).start()
         for j in range(nj):
-            dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, kk).start()
+            dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, kk,
+                   rows_of(j)).start()
 
     @pl.when(k == 0)
     def _():
@@ -361,7 +662,7 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
             top = pltpu.make_async_copy(
                 zstages[j], dxs[j].at[b, pl.ds(0, 1)], halosem.at[j, 0])
             bot = pltpu.make_async_copy(
-                zstages[j], dxs[j].at[b, pl.ds(n_i * th + 1, 1)],
+                zstages[j], dxs[j].at[b, pl.ds(n_i * rows_of(j) + 1, 1)],
                 halosem.at[j, 1])
             top.start()
             bot.start()
@@ -388,48 +689,57 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
         dbias[0, :] += jnp.sum(dy_interior, axis=(0, 1))
 
     for j in range(nj):
-        dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, k).wait()
+        dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, k,
+               rows_of(j)).wait()
         x_tile = xts[j][slot]
-        if j in pros:
-            a_tile = _prologue(x_tile, pros[j], valid)
+        if up_spec[j] is not None:
+            ga = _up_bwd_input(j, up_spec[j], th, wb, wbp, lo, dy_bf,
+                               dy_flat, x_tile, tts[j], dts[j],
+                               dups.get(j), pros, dpros, i, n_i)
+            wb_j, wbp_j = up_spec[j][1], up_spec[j][2]
         else:
-            a_tile = x_tile
-        # dW: dT[dy,dwb] += a_view^T @ dy_interior (operands flattened to
-        # 2-D — Mosaic requires a single contracting dim)
-        for dyy in range(3):
-            for dwb in range(3):
-                a2 = a_tile[dyy:dyy + th, dwb:dwb + wb, :].reshape(
-                    th * wb, l_list[j])
-                dts[j][dyy, dwb] += jax.lax.dot_general(
-                    a2, dy_flat, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        # dx: with T'[d] = T[-d]^T the taps read the halo'd dy tile exactly
-        # like the forward reads x
-        ga = jnp.zeros((th, wb, l_list[j]), jnp.float32)
-        for dyy in range(3):
-            for dwb in range(3):
-                ga += jax.lax.dot_general(
-                    dy_bf[dyy:dyy + th, dwb:dwb + wb, :], tts[j][dyy, dwb],
-                    (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        if j in pros:
-            xi = x_tile[1:1 + th, 1:1 + wb, :].astype(jnp.float32)
-            s = pros[j][0][None, None, :]
-            t = pros[j][1][None, None, :]
-            mask = (xi * s + t > 0.0).astype(jnp.float32)
-            gm = ga * mask
-            dpros[j][0, :] += jnp.sum(gm * xi, axis=(0, 1))
-            dpros[j][1, :] += jnp.sum(gm, axis=(0, 1))
-            ga = gm * s
+            wb_j, wbp_j = wb, wbp
+            if j in pros:
+                a_tile = _prologue(x_tile, pros[j], valid)
+            else:
+                a_tile = x_tile
+            # dW: dT[dy,dwb] += a_view^T @ dy_interior (operands flattened to
+            # 2-D — Mosaic requires a single contracting dim)
+            for dyy in range(3):
+                for dwb in range(3):
+                    a2 = a_tile[dyy:dyy + th, dwb:dwb + wb, :].reshape(
+                        th * wb, l_list[j])
+                    dts[j][dyy, dwb] += jax.lax.dot_general(
+                        a2, dy_flat, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            # dx: with T'[d] = T[-d]^T the taps read the halo'd dy tile
+            # exactly like the forward reads x
+            ga = jnp.zeros((th, wb, l_list[j]), jnp.float32)
+            for dyy in range(3):
+                for dwb in range(3):
+                    ga += jax.lax.dot_general(
+                        dy_bf[dyy:dyy + th, dwb:dwb + wb, :],
+                        tts[j][dyy, dwb], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            if j in pros:
+                xi = x_tile[1:1 + th, 1:1 + wb, :].astype(jnp.float32)
+                s = pros[j][0][None, None, :]
+                t = pros[j][1][None, None, :]
+                mask = (xi * s + t > 0.0).astype(jnp.float32)
+                gm = ga * mask
+                dpros[j][0, :] += jnp.sum(gm * xi, axis=(0, 1))
+                dpros[j][1, :] += jnp.sum(gm, axis=(0, 1))
+                ga = gm * s
 
         @pl.when(k >= 2)
         def _():
             _wait_copy(dxstages[j].at[slot], outsem.at[j, slot])
 
         dxstages[j][slot] = jnp.pad(
-            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp_j - wb_j - 1), (0, 0)])
         pltpu.make_async_copy(
-            dxstages[j].at[slot], dxs[j].at[b, pl.ds(i * th + 1, th)],
+            dxstages[j].at[slot],
+            dxs[j].at[b, pl.ds(i * rows_of(j) + 1, rows_of(j))],
             outsem.at[j, slot]).start()
 
     @pl.when(k + 1 == total)
@@ -447,29 +757,62 @@ class FusedCfg:
     """Static configuration of one fused packed conv (hashable)."""
 
     geom: RowGeom
-    l_list: tuple          # lanes per input
+    l_list: tuple          # lanes per input (src lanes for fused-up inputs)
     lo: int                # output lanes
     pro_mask: tuple        # bool per input: has (scale, shift, relu) prologue
     has_bias: bool
     emit_moments: bool
+    # per input: None, or (p_src, wb_src, wbp_src, r_b, mats) — the input is
+    # the ×2-nearest-upsample of a g_src-packed tensor, consumed fused
+    up_spec: tuple = None
+
+    @property
+    def ups(self) -> tuple:
+        return self.up_spec or (None,) * len(self.l_list)
+
+    def _tile_rows(self, j: int, th: int) -> tuple:
+        """(rows, wbp) of input j's VMEM tile at dst row tile th."""
+        u = self.ups[j]
+        if u is None:
+            return th + 2, self.geom.wbp
+        return th // 2 + 2, u[2]
+
+    def _n_mats(self, j: int) -> int:
+        u = self.ups[j]
+        return 9 if u is None else len(u[4])
 
     def vmem(self, th: int, backward: bool) -> int:
         g = self.geom
-        tiles = sum(2 * (th + 2) * g.wbp * l * 2 for l in self.l_list)
+        nj = len(self.l_list)
+        tiles = sum(2 * self._tile_rows(j, th)[0] * self._tile_rows(j, th)[1]
+                    * self.l_list[j] * 2 for j in range(nj))
         if not backward:
-            tees = sum(9 * l * self.lo * 2 for l in self.l_list)
+            tees = sum(self._n_mats(j) * self.l_list[j] * self.lo * 2
+                       for j in range(nj))
             acc = th * g.wb * self.lo * 4
             stage = 2 * th * g.wbp * self.lo * 2 + g.wbp * self.lo * 2
             return tiles + tees + acc + stage
-        # backward holds T' (bf16) + dT (f32) per input, dy(+y) tiles, per-
-        # input dx staging, and the two live f32 accumulators
+        # backward holds T' (bf16) + dT (f32) per input (standard 9-tap
+        # shapes for every input kind), dy(+y) tiles, per-input dx staging,
+        # the f32 accumulators, and for up inputs the in-VMEM duplicated
+        # tiles (ur/u2 + the r_b=2 dup matrices and dst-res fold temps)
         tiles += 2 * (th + 2) * g.wbp * self.lo * 2 * (
             1 + int(self.emit_moments))
         tees = sum(9 * l * self.lo * 2 for l in self.l_list)
         dts = sum(9 * l * self.lo * 4 for l in self.l_list)
-        acc = th * g.wb * max(self.l_list) * 4 + th * g.wb * self.lo * 4
-        stage = sum(2 * th * g.wbp * l * 2 + g.wbp * l * 2
-                    for l in self.l_list)
+        for j, u in enumerate(self.ups):
+            if u is None:
+                continue
+            l = self.l_list[j]
+            tees += (th + 2) * g.wbp * l * 2      # ur/u2 staging values
+            tees += th * g.wb * l * 4             # g fold accumulator
+            if u[3] == 2:
+                tees += 4 * l * l * 2             # De/Do/DeT/DoT
+        acc = (max(th * g.wb * l for l in self.l_list) * 4
+               + th * g.wb * self.lo * 4)
+        stage = sum((2 * (th // 2 if self.ups[j] else th) + 1)
+                    * self._tile_rows(j, th)[1] * self.l_list[j] * 2
+                    for j in range(nj))
         return tiles + tees + dts + acc + stage
 
     def th(self, backward: bool) -> int:
@@ -486,6 +829,7 @@ class FusedCfg:
             self,
             l_list=tuple(self.l_list[i] for i in idxs),
             pro_mask=tuple(self.pro_mask[i] for i in idxs),
+            up_spec=tuple(self.ups[i] for i in idxs),
             has_bias=self.has_bias if has_bias is None else has_bias)
 
 
@@ -499,8 +843,15 @@ def _fwd_call(cfg: FusedCfg, inputs, tees, pros, bias):
                                        memory_space=pltpu.VMEM)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nj
-    in_specs += [const((3, 3, l, cfg.lo)) for l in cfg.l_list]
-    args = list(inputs) + [t.astype(jnp.bfloat16) for t in tees]
+    in_specs += [const((3, 3, l, cfg.lo)) if cfg.ups[j] is None
+                 else const((cfg._n_mats(j), l, cfg.lo))
+                 for j, l in enumerate(cfg.l_list)]
+    # tees[j] for fused-up inputs is the raw (3,3,ci,co) kernel — build the
+    # stacked phase taps here (the VJP returns dW for them directly)
+    built = [t if cfg.ups[j] is None
+             else toeplitz_up(t, _src_geom(cfg, j), cfg.geom)
+             for j, t in enumerate(tees)]
+    args = list(inputs) + [t.astype(jnp.bfloat16) for t in built]
     for j, m in enumerate(cfg.pro_mask):
         if m:
             in_specs.append(const((2, cfg.l_list[j])))
@@ -516,8 +867,8 @@ def _fwd_call(cfg: FusedCfg, inputs, tees, pros, bias):
         out_shape.append(jax.ShapeDtypeStruct((2, cfg.lo), jnp.float32))
         out_specs.append(const((2, cfg.lo)))
 
-    scratch = [pltpu.VMEM((2, th + 2, g.wbp, l), jnp.bfloat16)
-               for l in cfg.l_list]
+    scratch = [pltpu.VMEM((2,) + cfg._tile_rows(j, th) + (l,), jnp.bfloat16)
+               for j, l in enumerate(cfg.l_list)]
     scratch += [
         pltpu.VMEM((2, th, g.wbp, cfg.lo), jnp.bfloat16),   # ystage
         pltpu.VMEM((1, g.wbp, cfg.lo), jnp.bfloat16),       # zstage
@@ -529,7 +880,8 @@ def _fwd_call(cfg: FusedCfg, inputs, tees, pros, bias):
         functools.partial(
             _fused_fwd_kernel, th=th, n_i=n_i, geom=g,
             l_list=cfg.l_list, lo=cfg.lo, pro_mask=cfg.pro_mask,
-            has_bias=cfg.has_bias, emit_moments=cfg.emit_moments, n_b=n_b),
+            has_bias=cfg.has_bias, emit_moments=cfg.emit_moments, n_b=n_b,
+            up_spec=cfg.ups),
         grid=(n_b, n_i),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -553,8 +905,28 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
-    tts = [jnp.flip(t, axis=(0, 1)).swapaxes(2, 3).astype(jnp.bfloat16)
-           for t in tees]
+    # transposed taps, all (3, 3, lo, l): regular inputs T'[d] = T[-d]^T;
+    # r_b=1 up inputs column-folded tx_up (double-flipped); r_b=2 up inputs
+    # the standard transposed dst taps (the dup-matrix adjoint handles the
+    # resolution fold in-kernel). ``tees[j]`` is the raw (3,3,ci,co) kernel
+    # for up inputs.
+    tts, dup_args = [], []
+    for j, t in enumerate(tees):
+        u = cfg.ups[j]
+        if u is None:
+            tts.append(jnp.flip(t, axis=(0, 1)).swapaxes(2, 3)
+                       .astype(jnp.bfloat16))
+            continue
+        gs = _src_geom(cfg, j)
+        if u[3] == 1:
+            tts.append(jnp.flip(tx_up(t, gs, g), axis=(0, 1)))
+        else:
+            td = _toeplitz(t, g.p, gs.cp(t.shape[2]), g.cp(t.shape[3]))
+            tts.append(jnp.flip(td, axis=(0, 1)).swapaxes(2, 3)
+                       .astype(jnp.bfloat16))
+            de, do = _dup_mats_np(g.p, gs.cp(t.shape[2]))
+            dup_args += [jnp.asarray(m, jnp.bfloat16)
+                         for m in (de, do, de.T, do.T)]
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [dy]
@@ -569,12 +941,22 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
         if m:
             in_specs.append(const((2, cfg.l_list[j])))
             args.append(pros[j].astype(jnp.float32))
+    for j, u in enumerate(cfg.ups):
+        if u is not None and u[3] == 2:
+            in_specs += [const((cfg.l_list[j], cfg.l_list[j]))] * 4
+    args += dup_args
     if cfg.emit_moments:
         in_specs.append(const((2, cfg.lo)))
         args.append(dmom.astype(jnp.float32))
 
-    out_shape = [jax.ShapeDtypeStruct((n_b, g.h + 2, g.wbp, l), jnp.bfloat16)
-                 for l in cfg.l_list]
+    def dx_shape(j, l):
+        u = cfg.ups[j]
+        if u is None:
+            return (n_b, g.h + 2, g.wbp, l)
+        return (n_b, g.h // 2 + 2, u[2], l)
+
+    out_shape = [jax.ShapeDtypeStruct(dx_shape(j, l), jnp.bfloat16)
+                 for j, l in enumerate(cfg.l_list)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nj
     for l in cfg.l_list:
         out_shape.append(jax.ShapeDtypeStruct((3, 3, l, cfg.lo), jnp.float32))
@@ -588,14 +970,22 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
         out_shape.append(jax.ShapeDtypeStruct((1, cfg.lo), jnp.float32))
         out_specs.append(const((1, cfg.lo)))
 
+    def stage_wbp(j):
+        u = cfg.ups[j]
+        return g.wbp if u is None else u[2]
+
+    def stage_rows(j):
+        return th if cfg.ups[j] is None else th // 2
+
     scratch = [pltpu.VMEM((2, th + 2, g.wbp, cfg.lo), jnp.bfloat16)]  # dyt
     if cfg.emit_moments:
         scratch.append(pltpu.VMEM((2, th + 2, g.wbp, cfg.lo), jnp.bfloat16))
-    scratch += [pltpu.VMEM((2, th + 2, g.wbp, l), jnp.bfloat16)
-                for l in cfg.l_list]
-    scratch += [pltpu.VMEM((2, th, g.wbp, l), jnp.bfloat16)
-                for l in cfg.l_list]
-    scratch += [pltpu.VMEM((1, g.wbp, l), jnp.bfloat16) for l in cfg.l_list]
+    scratch += [pltpu.VMEM((2,) + cfg._tile_rows(j, th) + (l,), jnp.bfloat16)
+                for j, l in enumerate(cfg.l_list)]
+    scratch += [pltpu.VMEM((2, stage_rows(j), stage_wbp(j), l), jnp.bfloat16)
+                for j, l in enumerate(cfg.l_list)]
+    scratch += [pltpu.VMEM((1, stage_wbp(j), l), jnp.bfloat16)
+                for j, l in enumerate(cfg.l_list)]
     scratch += [
         pltpu.SemaphoreType.DMA((nj + 1 + int(cfg.emit_moments), 2)),
         pltpu.SemaphoreType.DMA((nj, 2)),
@@ -605,7 +995,8 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
         functools.partial(
             _fused_bwd_kernel, th=th, n_i=n_i, geom=g,
             l_list=cfg.l_list, lo=cfg.lo, pro_mask=cfg.pro_mask,
-            has_bias=cfg.has_bias, emit_moments=cfg.emit_moments, n_b=n_b),
+            has_bias=cfg.has_bias, emit_moments=cfg.emit_moments, n_b=n_b,
+            up_spec=cfg.ups),
         grid=(n_b, n_i),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -660,10 +1051,28 @@ def _fused_conv_bwd(cfg, res, cot):
                 cur = []
             cur.append(i)
         groups.append(cur)
+    def fold_dts(dts):
+        """Up-input dT outputs fold to raw (3,3,Cin,Cout) kernel grads."""
+        out = []
+        for j, d in enumerate(dts):
+            u = cfg.ups[j]
+            if u is None or d is None:
+                out.append(d)
+                continue
+            gs = _src_geom(cfg, j)
+            w_shape = tees[j].shape
+            if u[3] == 1:
+                out.append(fold_up_dw_rb1(d, w_shape, gs, cfg.geom))
+            else:
+                out.append(_fold_toeplitz_grad(
+                    d, w_shape, cfg.geom.p, gs.cp(w_shape[2]),
+                    cfg.geom.cp(w_shape[3])))
+        return tuple(out)
+
     if len(groups) == 1:
         dxs, dts, dpros, dbias = _bwd_call(cfg, inputs, tees, pros, y, dy,
                                            dmom)
-        return dxs, dts, dpros, dbias
+        return dxs, fold_dts(dts), dpros, dbias
     dxs = [None] * nj
     dts = [None] * nj
     dpros = [None] * nj
@@ -677,7 +1086,7 @@ def _fused_conv_bwd(cfg, res, cot):
             dxs[i], dts[i], dpros[i] = gx[a], gt[a], gp[a]
         if gi == 0 and cfg.has_bias:
             dbias = gb
-    return tuple(dxs), tuple(dts), tuple(dpros), dbias
+    return tuple(dxs), fold_dts(dts), tuple(dpros), dbias
 
 
 fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)

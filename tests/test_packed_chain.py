@@ -271,3 +271,103 @@ def test_bwd_input_group_split_matches_unsplit(rng, monkeypatch):
                     jax.tree_util.tree_leaves(g_split)):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), atol=1e-3)
+
+
+class TestFusedUpsample:
+    """conv-over-×2-nearest-upsample fused via phase up-taps must equal
+    ``conv3x3(up2(prologue(x_src))) (+ skip conv)`` — forward and every
+    gradient (src input, weights, prologue, moments). Covers both geometry
+    regimes: r_b=1 (packing factor halves across the scale, e.g. the
+    128²p4→256²p8 UNet++ transition) and r_b=2 (same p, e.g. 256²p8→512²p8).
+    Reference semantics anchor: smp decoder blocks upsample-then-conv
+    (``Main_MMR_SegModel.py:589``; ``unet_parts.py:93-103``)."""
+
+    def _up2(self, x):
+        b, h, w, c = x.shape
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return x.reshape(b, 2 * h, 2 * w, c)
+
+    def _geoms(self, r_b):
+        if r_b == 1:
+            return pc.RowGeom(8, 16, 2, 8, 16), pc.RowGeom(16, 32, 4, 8, 16)
+        return pc.RowGeom(4, 64, 8, 8, 16), pc.RowGeom(8, 128, 8, 16, 24)
+
+    @pytest.mark.parametrize("r_b", [1, 2])
+    @pytest.mark.parametrize("use_pro", [False, True])
+    def test_forward_and_grads(self, rng, r_b, use_pro):
+        g_src, g_dst = self._geoms(r_b)
+        B, C_up, C_sk, CO = 2, 5, 7, 6
+        h_s, w_s, h_d, w_d = g_src.h, g_src.w, g_dst.h, g_dst.w
+        xs = jnp.asarray(rng.randn(B, h_s, w_s, C_up).astype(np.float32))
+        xk = jnp.asarray(rng.randn(B, h_d, w_d, C_sk).astype(np.float32))
+        w_up = jnp.asarray(rng.randn(3, 3, C_up, CO).astype(np.float32) * .1)
+        w_sk = jnp.asarray(rng.randn(3, 3, C_sk, CO).astype(np.float32) * .1)
+        s = jnp.asarray(rng.rand(C_up).astype(np.float32) + 0.5)
+        t = jnp.asarray(rng.randn(C_up).astype(np.float32) * 0.3)
+        gy = jnp.asarray(rng.randn(B, h_d, w_d, CO).astype(np.float32))
+        gmom = jnp.asarray(
+            rng.randn(2, g_dst.lanes(CO)).astype(np.float32) * 0.01)
+
+        spec = pc.up_spec_for(g_src, g_dst, C_up)
+        cfg = pc.FusedCfg(
+            geom=g_dst, l_list=(g_src.lanes(C_up), g_dst.lanes(C_sk)),
+            lo=g_dst.lanes(CO), pro_mask=(use_pro, False), has_bias=False,
+            emit_moments=True, up_spec=(spec, None))
+
+        def fused(xs, xk, w_up, w_sk, s, t):
+            cp_s = g_src.cp(C_up)
+            pad = cp_s - C_up
+            pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g_src.p),
+                             jnp.tile(jnp.pad(t, (0, pad)), g_src.p)]) \
+                if use_pro else None
+            y_p, mom = pc.fused_conv(
+                cfg, (pc.to_packed(xs, g_src), pc.to_packed(xk, g_dst)),
+                (w_up,   # raw kernel for fused-up inputs
+                 _toeplitz(w_sk, g_dst.p, g_dst.cp(C_sk), g_dst.cp(CO))),
+                (pro, None), None)
+            y = pc.from_packed(y_p, g_dst, CO).astype(jnp.float32)
+            return jnp.sum(y * gy) + jnp.sum(mom * gmom), y
+
+        def unfused(xs, xk, w_up, w_sk, s, t):
+            a = xs.astype(jnp.bfloat16).astype(jnp.float32)
+            if use_pro:
+                a = jnp.maximum(a * s + t, 0.0)
+            y = ref_conv(self._up2(a.astype(jnp.bfloat16)), w_up) + \
+                ref_conv(xk.astype(jnp.bfloat16), w_sk)
+            cop = g_dst.cp(CO)
+            ypad = jnp.pad(y, [(0, 0)] * 3 + [(0, cop - CO)])
+            lanes = ypad.reshape(B, h_d, w_d // g_dst.p, g_dst.p * cop)
+            mom = jnp.stack([jnp.sum(lanes, axis=(0, 1, 2)),
+                             jnp.sum(lanes * lanes, axis=(0, 1, 2))])
+            return jnp.sum(y * gy) + jnp.sum(mom * gmom), y
+
+        (_, y_f), gf = jax.value_and_grad(
+            fused, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
+            xs, xk, w_up, w_sk, s, t)
+        (_, y_r), gr = jax.value_and_grad(
+            unfused, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
+            xs, xk, w_up, w_sk, s, t)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                                   atol=0.15, rtol=0.05)
+        names = ["dx_src", "dx_skip", "dw_up", "dw_skip", "dscale", "dshift"]
+        for n, a, b in zip(names, gf, gr):
+            if n in ("dscale", "dshift") and not use_pro:
+                continue
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+            assert err < 0.08, (n, err)
+
+    def test_lazy_upsample_packedT(self, rng):
+        """upsample_packed goes lazy for compatible geometries and unpack()
+        still materializes the correct fine tensor."""
+        from mmr_tpu.models.packed_blocks import PackedT, upsample_packed
+
+        g_src, g_dst = self._geoms(1)
+        x = jnp.asarray(rng.randn(2, g_src.h, g_src.w, 5).astype(np.float32),
+                        jnp.bfloat16)
+        t = PackedT(pc.to_packed(x, g_src), None, 5, g_src)
+        up = upsample_packed(t, g_dst)
+        assert up.geom_src == g_src  # lazy
+        want = np.repeat(np.repeat(np.asarray(x, np.float32), 2, 1), 2, 2)
+        np.testing.assert_allclose(np.asarray(up.unpack(), np.float32), want,
+                                   atol=1e-2)
