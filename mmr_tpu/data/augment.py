@@ -175,10 +175,15 @@ def _affine_batch_shared(images, masks, angle, scale, out_hw):
     sy = (gy * ca - gx * sa) * scale + (ih - 1) / 2.0
     sx = (gy * sa + gx * ca) * scale + (iw - 1) / 2.0
     coords = jnp.stack([sy, sx])
-    flat = images.transpose(0, 3, 1, 2).reshape(b * c, ih, iw)
+    # bf16 pixel gathers: halves the ~100 MB/corner bilinear traffic; the
+    # images are 8-bit-origin so bf16 sampling noise (~3e-3) is far below
+    # the augmentation's own intensity jitter. Interpolation weights stay
+    # f32 via the f32 coords.
+    flat = images.astype(jnp.bfloat16).transpose(0, 3, 1, 2).reshape(
+        b * c, ih, iw)
     warped = jax.vmap(
         lambda ch: jax.scipy.ndimage.map_coordinates(ch, coords, order=1, mode="constant"),
-    )(flat).reshape(b, c, oh, ow).transpose(0, 2, 3, 1)
+    )(flat).astype(images.dtype).reshape(b, c, oh, ow).transpose(0, 2, 3, 1)
     masks_w = jax.vmap(
         lambda mhw: jax.scipy.ndimage.map_coordinates(
             mhw.astype(jnp.float32), coords, order=0, mode="constant"),
@@ -224,7 +229,11 @@ def _simulate_low_res_shared(images, scale, gate_bc):
                    + 0.5).astype(jnp.int32).clip(0, h - 1)
     ix = jnp.floor(jnp.floor(jnp.arange(w, dtype=jnp.float32) * scale) / scale
                    + 0.5).astype(jnp.int32).clip(0, w - 1)
-    low = jnp.take(jnp.take(images, iy, axis=1), ix, axis=2)
+    # bf16 takes: halves the two ~100 MB shared-index gathers; values are
+    # copied (not interpolated) so the only loss is the bf16 quantization
+    # of 8-bit-origin pixels
+    low = jnp.take(jnp.take(images.astype(jnp.bfloat16), iy, axis=1),
+                   ix, axis=2).astype(images.dtype)
     return jnp.where(gate_bc[:, None, None, :], low, images)
 
 
@@ -261,8 +270,15 @@ def augment_train_batch(key, images, masks, cfg: AugmentConfig):
         scale_do = jax.random.bernoulli(next(ks), 0.2) & bool(cfg.scaling)
         scale = jnp.where(scale_do, jax.random.uniform(
             next(ks), (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1]), 1.0)
-        images, masks = _affine_batch_shared(images, masks, angle, scale,
-                                             cfg.patch_size)
+        # identity warp (p = 0.8·0.8) is exactly a center crop — skip the
+        # five ~100 MB bilinear/nearest gathers (~14 ms/step on the bench
+        # chip) whenever neither rotation nor scaling fires this batch
+        images, masks = jax.lax.cond(
+            rot_do | scale_do,
+            lambda im, mk: _affine_batch_shared(im, mk, angle, scale,
+                                                cfg.patch_size),
+            lambda im, mk: _center_crop(im, mk, cfg.patch_size),
+            images, masks)
 
     # ---- gaussian noise (p=0.1, var U(0,0.1), channels synced) ----
     if cfg.gaussian_noise:

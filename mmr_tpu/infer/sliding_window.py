@@ -88,42 +88,49 @@ def sliding_window_inference(
         wsum_np[y:y + rh, x:x + rw, 0] += imp_np
     inv_wsum = jnp.asarray(1.0 / np.maximum(wsum_np, 1e-8))
 
-    # pad window count to a multiple of sw_batch_size (static)
-    n_pad = -(-n_windows // sw_batch_size) * sw_batch_size
-    coords_p = np.concatenate(
-        [coords, np.tile(coords[-1:], (n_pad - n_windows, 1))], axis=0)
-    pad_mask = jnp.asarray(
-        (np.arange(n_pad) < n_windows).astype(np.float32))
-    coords_j = jnp.asarray(coords_p).reshape(-1, sw_batch_size, 2)
-    mask_j = pad_mask.reshape(-1, sw_batch_size)
+    # one flat (frame, y, x) window stream across ALL frames, padded to a
+    # multiple of sw_batch_size — the model is never vmapped (frame-level
+    # vmap would map over the Pallas kernels, which Mosaic rejects), and
+    # batch padding amortizes across frames instead of per frame
+    n_total = n * n_windows
+    n_pad = -(-n_total // sw_batch_size) * sw_batch_size
+    fyx = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int32), n_windows)[:, None],
+         np.tile(coords, (n, 1))], axis=1)
+    fyx = np.concatenate([fyx, np.tile(fyx[-1:], (n_pad - n_total, 1))])
+    fyx_j = jnp.asarray(fyx).reshape(-1, sw_batch_size, 3)
 
-    def one_image(img):
-        def batch_step(out_sum, xs_):
-            cbatch, valid = xs_
+    def fwd(cb):
+        def extract(v):
+            return jax.lax.dynamic_slice(
+                inputs, (v[0], v[1], v[2], 0), (1, rh, rw, c))[0]
 
-            def extract(cy_cx):
-                return jax.lax.dynamic_slice(img, (cy_cx[0], cy_cx[1], 0), (rh, rw, c))
+        windows = jax.vmap(extract)(cb)  # (B, rh, rw, C)
+        return predictor(windows).astype(jnp.float32)
 
-            windows = jax.vmap(extract)(cbatch)  # (B, rh, rw, C)
-            logits = predictor(windows).astype(jnp.float32)
+    if fyx_j.shape[0] == 1:
+        logits = fwd(fyx_j[0])
+    else:
+        logits = jax.lax.map(fwd, fyx_j).reshape(n_pad, rh, rw, num_classes)
+    logits = logits[:n_total].reshape(n, n_windows, rh, rw, num_classes)
 
-            def scatter(o, j):
-                y, x = cbatch[j, 0], cbatch[j, 1]
-                patch = logits[j] * (imp * valid[j])[..., None]
-                o = jax.lax.dynamic_update_slice(
-                    o, jax.lax.dynamic_slice(o, (y, x, 0), (rh, rw, num_classes)) + patch,
-                    (y, x, 0))
-                return o, None
+    # static-grid blend: every start offset is known at trace time, so the
+    # per-window scatter is a statically-padded add — windows of one grid
+    # row sum into an (rh, W) strip (pads in x), strips sum into the canvas
+    # (pads in y).  XLA tree-reduces the adds; no sequential
+    # dynamic_update_slice chain (the round-1 bottleneck, VERDICT #4).
+    def blend(lg):
+        wl = lg * imp[None, ..., None]
+        out = jnp.zeros((h, w, num_classes), jnp.float32)
+        for r, y in enumerate(ys):
+            strip = jnp.zeros((rh, w, num_classes), jnp.float32)
+            for k, x in enumerate(xs):
+                strip = strip + jnp.pad(
+                    wl[r * len(xs) + k], ((0, 0), (x, w - rw - x), (0, 0)))
+            out = out + jnp.pad(strip, ((y, h - rh - y), (0, 0), (0, 0)))
+        return out * inv_wsum
 
-            out_sum, _ = jax.lax.scan(
-                scatter, out_sum, jnp.arange(sw_batch_size))
-            return out_sum, None
-
-        init = jnp.zeros((h, w, num_classes), jnp.float32)
-        out_sum, _ = jax.lax.scan(batch_step, init, (coords_j, mask_j))
-        return out_sum * inv_wsum
-
-    return jax.vmap(one_image)(inputs)
+    return jax.vmap(blend)(logits)
 
 
 def make_sliding_window_fn(model, variables, roi, num_classes,
@@ -149,9 +156,16 @@ def make_sliding_window_fn(model, variables, roi, num_classes,
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(run)
 
+    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from mmr_tpu.core.mesh import DATA_AXIS
 
+    # shard_map (not sharding propagation): each chip runs the whole
+    # window-stream pipeline on its local frames, so the flat (frame,
+    # window) stream never mixes shards and no collective is needed
+    run_local = shard_map(run, mesh=mesh, in_specs=(P(DATA_AXIS),),
+                          out_specs=P(DATA_AXIS), check_rep=False)
     shard_frames = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(run, in_shardings=(shard_frames,), out_shardings=shard_frames)
+    return jax.jit(run_local, in_shardings=(shard_frames,),
+                   out_shardings=shard_frames)

@@ -56,7 +56,10 @@ from mmr_tpu.ops.pallas.conv3x3_packed import (
 )
 
 _INTERPRET = False
-_VMEM_BUDGET = 11 * 1024 * 1024
+# v5e has 128 MB VMEM/core; 24 MB of modeled footprint leaves ample head-
+# room for Mosaic's own staging while letting the 512² backward groups run
+# th=32 row tiles (6% halo re-read overhead instead of 12.5% at th=16)
+_VMEM_BUDGET = 24 * 1024 * 1024
 
 
 # ----------------------------------------------------------------- geometry
@@ -495,18 +498,21 @@ def _wait_copy(stage_ref, sem):
 
 def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
                   dts_j, dups_j, pros, dpros, i, n_i):
-    """Backward for one fused-upsample input (parity-free formulation):
-    accumulates dT (+dpro) and returns the (th/2, wb_s, L_s) dx tile (grad
-    wrt the RAW src tensor).
+    """Backward for one fused-upsample input, ROW-FOLDED: every matmul runs
+    at SOURCE rows (M = th/2·wb), exploiting that nearest-up row pairs read
+    the same src row. Accumulates dT (+dpro) and returns the (th/2, wb_s,
+    L_s) dx tile (grad wrt the RAW src tensor).
 
-    - dW: row-duplicate the activated src tile (ur; free untiled merge),
-      for r_b=2 also column-duplicate via the De/Do lane matmuls, then run
-      the STANDARD 9-tap accumulation; the (src px ↔ dst px) diagonals are
-      folded outside the kernel.
-    - dx: standard 9-tap transposed pass over dy (taps pre-folded for
-      r_b=1; plain transposed dst taps for r_b=2 followed by the dup-matrix
-      adjoint via block-parity select), then row/block pair-sums down to
-      source resolution.
+    - dW: ×2-nearest duplicates rows, so dst rows t = 2r+e contract src row
+      ``core[r + (a+e-1)//2]`` — only FOUR distinct (src slice, dy parity)
+      products per dwb (the a-taps alias in pairs), each at half M, summed
+      into the three dT[a] slots. r_b=2 column-duplicates the src tile via
+      the De/Do lane matmuls first (now at src rows — half the old cost);
+      the (src px ↔ dst px) diagonals are folded outside the kernel.
+    - dx: the transposed pass groups the (row-tap, parity) products by dy
+      row offset s = e+dyy — four matmuls per dwb at half M against
+      parity-sliced dy with pair-summed tap mats (T0, T0+T1, T1+T2, T2) —
+      then (r_b=2) the dup-matrix adjoint + block-parity select at src rows.
     """
     p_s, wb_s, wbp_s, r_b, _ = spec
     ths = th // 2
@@ -518,39 +524,58 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
     else:
         a_tile = x_tile
 
-    # ur: rows [S0, S1,S1, ..., Sths,Sths, S_{ths+1}] — (th+2, wbp_s, L_s)
-    core = a_tile[1:ths + 1]
-    ur = jnp.concatenate(
-        [a_tile[0:1],
-         jnp.stack([core, core], axis=1).reshape(th, wbp_s, l_s),
-         a_tile[ths + 1:ths + 2]], axis=0)
     if r_b == 1:
-        u2 = ur  # dst block ↔ src block; wbp_s == wbp
+        u2 = a_tile  # dst block ↔ src block; wbp_s == wbp
     else:
         de, do = dups_j[0][...], dups_j[1][...]
-        pe = jax.lax.dot_general(ur, de, (((2,), (0,)), ((), ())),
+        pe = jax.lax.dot_general(a_tile, de, (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        po = jax.lax.dot_general(ur, do, (((2,), (0,)), ((), ())),
+        po = jax.lax.dot_general(a_tile, do, (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        big = jnp.stack([pe, po], axis=2).reshape(th + 2, 2 * wbp_s, l_s)
+        big = jnp.stack([pe, po], axis=2).reshape(ths + 2, 2 * wbp_s, l_s)
         u2 = big[:, 1:1 + wbp, :].astype(jnp.bfloat16)
 
-    # dW: standard 9-tap accumulation against the duplicated tile
-    for a in range(3):
-        for dwb in range(3):
-            a2 = u2[a:a + th, dwb:dwb + wb, :].astype(jnp.bfloat16).reshape(
-                th * wb, l_s)
-            dts_j[a, dwb] += jax.lax.dot_general(
-                a2, dy_flat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    # parity views of the interior dy rows: dy_par(e)[r] = dy interior row
+    # 2r+e (untiled-dim reshape + slice — free addressing, no relayout)
+    dy_r = dy_bf[1:1 + th].reshape(ths, 2, wbp, lo)
+    dy_pflat = [dy_r[:, e, 1:1 + wb, :].reshape(ths * wb, lo)
+                for e in (0, 1)]
 
-    # dx: transposed 9-tap pass at dst rows (tts_j pre-flipped like the
-    # standard path), then fold down to src
-    g = jnp.zeros((th, wb, l_s), jnp.float32)
-    for dyy in range(3):
+    # dW: c[e, o] = u2[1+o : 1+o+ths]^T dy_e; o(a, e) = (a+e-1)//2 aliases
+    # a∈{1,2} (e=0) and a∈{0,1} (e=1) — 4 products, 6 accumulations
+    def c_prod(e, o, dwb):
+        a2 = u2[1 + o:1 + o + ths, dwb:dwb + wb, :].astype(
+            jnp.bfloat16).reshape(ths * wb, l_s)
+        return jax.lax.dot_general(
+            a2, dy_pflat[e], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    for dwb in range(3):
+        c0m = c_prod(0, -1, dwb)
+        c00 = c_prod(0, 0, dwb)
+        c10 = c_prod(1, 0, dwb)
+        c11 = c_prod(1, 1, dwb)
+        dts_j[0, dwb] += c0m + c10
+        dts_j[1, dwb] += c00 + c10
+        dts_j[2, dwb] += c00 + c11
+
+    # dx: ga[r] = Σ_s dy_bf[2r+s]·M_s with M = (T0, T0+T1, T1+T2, T2)
+    t0 = [tts_j[0, dwb][...] for dwb in range(3)]
+    t1 = [tts_j[1, dwb][...] for dwb in range(3)]
+    t2 = [tts_j[2, dwb][...] for dwb in range(3)]
+    mats = [t0, [a + b for a, b in zip(t0, t1)],
+            [a + b for a, b in zip(t1, t2)], t2]
+
+    def dy_par(s):  # (ths, wbp, lo) rows {s, s+2, ...} of the halo'd tile
+        base = s - (s % 2)
+        return dy_bf[base:base + th].reshape(ths, 2, wbp, lo)[:, s % 2]
+
+    g = jnp.zeros((ths, wb, l_s), jnp.float32)
+    for s in range(4):
+        dsl = dy_par(s)
         for dwb in range(3):
             g += jax.lax.dot_general(
-                dy_bf[dyy:dyy + th, dwb:dwb + wb, :], tts_j[dyy, dwb],
+                dsl[:, dwb:dwb + wb, :], mats[s][dwb].astype(jnp.bfloat16),
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     if r_b == 2:
@@ -560,12 +585,11 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
                                  preferred_element_type=jnp.float32)
         qo = jax.lax.dot_general(gb, dot, (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        bi = jax.lax.broadcasted_iota(jnp.int32, (th, wb, l_s), 1)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (ths, wb, l_s), 1)
         g = jnp.where(bi % 2 == 0, qe, qo)
-        gq = g.reshape(th, wb_s, 2, l_s)
+        gq = g.reshape(ths, wb_s, 2, l_s)
         g = gq[:, :, 0, :] + gq[:, :, 1, :]
-    gr = g.reshape(ths, 2, wb_s, l_s)
-    ga = gr[:, 0] + gr[:, 1]
+    ga = g
 
     if j in pros:
         xi = x_tile[1:1 + ths, 1:1 + wb_s, :].astype(jnp.float32)
@@ -804,8 +828,11 @@ class FusedCfg:
             if u is None:
                 continue
             l = self.l_list[j]
-            tees += (th + 2) * g.wbp * l * 2      # ur/u2 staging values
-            tees += th * g.wb * l * 4             # g fold accumulator
+            # row-folded bwd: u2 staging and the dx accumulator live at
+            # SOURCE rows; the dx pass adds 12 pair-summed tap mats
+            tees += (th // 2 + 2) * g.wbp * l * 2
+            tees += th // 2 * g.wb * l * 4
+            tees += 12 * self.lo * l * 2
             if u[3] == 2:
                 tees += 4 * l * l * 2             # De/Do/DeT/DoT
         acc = (max(th * g.wb * l for l in self.l_list) * 4
