@@ -211,13 +211,18 @@ def _gaussian_blur_batch(images, sigmas, ch_mask):
     kern_h = k[:, None, None, :]                       # (2r+1, 1, 1, B*C)
     kern_w = k[None, :, None, :]                       # (1, 2r+1, 1, B*C)
     dn = ("NHWC", "HWIO", "NHWC")
+    kern_h = kern_h.astype(images.dtype)
+    kern_w = kern_w.astype(images.dtype)
     y = jnp.pad(images, [(0, 0), (r, r), (r, r), (0, 0)], mode="edge")
     y = y.transpose(1, 2, 0, 3).reshape(1, h + 2 * r, w + 2 * r, b * c)
-    y = jax.lax.conv_general_dilated(y, kern_h, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=b * c)
-    y = jax.lax.conv_general_dilated(y, kern_w, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=b * c)
-    y = y.reshape(h, w, b, c).transpose(2, 0, 1, 3)
+    y = jax.lax.conv_general_dilated(
+        y, kern_h, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=b * c, preferred_element_type=jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        y.astype(images.dtype), kern_w, (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=b * c,
+        preferred_element_type=jnp.float32)
+    y = y.astype(images.dtype).reshape(h, w, b, c).transpose(2, 0, 1, 3)
     return jnp.where(ch_mask[:, None, None, :], y, images)
 
 
@@ -280,12 +285,22 @@ def augment_train_batch(key, images, masks, cfg: AugmentConfig):
             lambda im, mk: _center_crop(im, mk, cfg.patch_size),
             images, masks)
 
+    # the intensity chain runs in bf16 (halves the ~200 MB/transform HBM
+    # traffic at 32×512²; statistics reductions upcast to f32 inside their
+    # fused reduces, so only storage precision drops — ~0.4% relative, far
+    # below the transforms' own jitter ranges). All-off configs skip the
+    # cast and stay bit-exact.
+    if (cfg.gaussian_noise or cfg.gaussian_blur or cfg.brightness
+            or cfg.contrast or cfg.low_resolution or cfg.gamma):
+        images = images.astype(jnp.bfloat16)
+
     # ---- gaussian noise (p=0.1, var U(0,0.1), channels synced) ----
     if cfg.gaussian_noise:
         do = jax.random.bernoulli(next(ks), 0.1, (b, 1, 1, 1))
         var = jax.random.uniform(next(ks), (b, 1, 1, 1), minval=0.0, maxval=0.1)
-        noise = jax.random.normal(next(ks), images.shape)
-        images = jnp.where(do, images + noise * jnp.sqrt(var), images)
+        noise = jax.random.normal(next(ks), images.shape, jnp.bfloat16)
+        images = jnp.where(
+            do, images + noise * jnp.sqrt(var).astype(jnp.bfloat16), images)
 
     # ---- gaussian blur (p=0.2, sigma U(0.5,1), p_per_channel=0.5) ----
     if cfg.gaussian_blur:
@@ -299,16 +314,18 @@ def augment_train_batch(key, images, masks, cfg: AugmentConfig):
         do = jax.random.bernoulli(next(ks), 0.15, (b, 1))
         mult = _bg_contrast_batch(next(ks), *cfg.brightness_range, (b, c))
         mult = jnp.where(do, mult, 1.0)
-        images = images * mult[:, None, None, :]
+        images = (images * mult[:, None, None, :]).astype(jnp.bfloat16)
 
     # ---- contrast, preserve range (p=0.15, per channel) ----
     if cfg.contrast:
         do = jax.random.bernoulli(next(ks), 0.15, (b, 1))
         fac = jnp.where(do, _bg_contrast_batch(next(ks), *cfg.contrast_range, (b, c)), 1.0)
-        mean = images.mean(axis=(1, 2), keepdims=True)
-        mn = images.min(axis=(1, 2), keepdims=True)
-        mx = images.max(axis=(1, 2), keepdims=True)
-        images = jnp.clip((images - mean) * fac[:, None, None, :] + mean, mn, mx)
+        imf = images.astype(jnp.float32)  # f32-accumulated stats
+        mean = imf.mean(axis=(1, 2), keepdims=True)
+        mn = imf.min(axis=(1, 2), keepdims=True)
+        mx = imf.max(axis=(1, 2), keepdims=True)
+        images = jnp.clip((images - mean) * fac[:, None, None, :] + mean,
+                          mn, mx).astype(jnp.bfloat16)
 
     # ---- simulated low resolution (p=0.25, scale U(0.5,1), per-ch 0.5) ----
     if cfg.low_resolution:
@@ -321,15 +338,17 @@ def augment_train_batch(key, images, masks, cfg: AugmentConfig):
     if cfg.gamma:
         do = jax.random.bernoulli(next(ks), 0.3, (b, 1))
         g = jnp.where(do, _bg_contrast_batch(next(ks), *cfg.gamma_range, (b, c)), 1.0)
-        mn = images.min(axis=(1, 2), keepdims=True)
-        rng_ = images.max(axis=(1, 2), keepdims=True) - mn
-        mean = images.mean(axis=(1, 2), keepdims=True)
-        std = images.std(axis=(1, 2), keepdims=True)
+        imf = images.astype(jnp.float32)  # f32-accumulated stats
+        mn = imf.min(axis=(1, 2), keepdims=True)
+        rng_ = imf.max(axis=(1, 2), keepdims=True) - mn
+        mean = imf.mean(axis=(1, 2), keepdims=True)
+        std = imf.std(axis=(1, 2), keepdims=True)
         norm = (images - mn) / (rng_ + 1e-7)
         gam = jnp.power(jnp.clip(norm, 1e-7, 1.0), g[:, None, None, :]) * (rng_ + 1e-7) + mn
         gam = (gam - gam.mean(axis=(1, 2), keepdims=True)) / (
             gam.std(axis=(1, 2), keepdims=True) + 1e-8) * std + mean
-        images = jnp.where(do[:, :, None, None], gam, images)
+        images = jnp.where(do[:, :, None, None], gam,
+                           images).astype(jnp.bfloat16)
 
     # ---- mirror (p=0.5 per sample per allowed axis) ----
     if cfg.mirror:
