@@ -78,7 +78,9 @@ def main():
                           jax.random.key(100 + i))
     np.asarray(met["loss"])
 
-    n_steps = 20
+    # 40 steps: the batch-shared augment warp fires stochastically
+    # (p=0.36/step), so short runs have ±2 f/s sampling noise
+    n_steps = 40
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, met = step(state, d_imgs, d_masks, jnp.float32(1e-4),
