@@ -146,7 +146,7 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, labels=None):
         feats = self._encode(x, train)
         feats = [f for f in feats if f is not None]
         fr = feats[::-1]                       # [f5 .. f1], smp order
@@ -154,7 +154,7 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         enc_ch = tuple(f.shape[-1] for f in feats)
         plan = smp_unetpp_plan(enc_ch, self.decoder_channels)
         if self.packed:
-            return self._packed_decoder(fr, depth, plan, train)
+            return self._packed_decoder(fr, depth, plan, train, labels)
 
         dense: dict[tuple[int, int], jnp.ndarray] = {}
         for layer in range(depth):
@@ -191,15 +191,21 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
                 return jnp.mean(jnp.stack(outs), axis=0)
         return logits
 
-    def _packed_decoder(self, fr, depth, plan, train):
+    def _packed_decoder(self, fr, depth, plan, train, labels=None):
         """Same smp topology; fine-resolution nodes run as packed fused
         kernels, coarse nodes stay on XLA (tiny tensors, big channel
         counts). One shared geometry per output scale (all ``x_*_l`` share
         their out resolution) so same-scale skips never repack; the packing
-        factor is the largest p whose worst node fits the fwd VMEM budget."""
+        factor is the largest p whose worst node fits the fwd VMEM budget.
+
+        With ``labels`` (the int mask batch), the head runs as the fused
+        head+loss kernel and the return value is a dict of loss partials
+        (``stats``, ``conf``, ``spec``, ``n_pixels``) — see
+        ``packed_chain.assemble_dice_ce``."""
         import mmr_tpu.ops.pallas.packed_chain as pc
         from mmr_tpu.models.packed_blocks import (
-            PackedConvBN, PackedT, pack_up_lazy, upsample_packed)
+            PackedConvBN, PackedHeadLoss, PackedT, pack_up_lazy,
+            upsample_packed)
 
         assert not self.deep_supervision, "packed path: deep_supervision off"
 
@@ -316,6 +322,15 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
 
         top = dense[(0, depth)]
         if isinstance(top, PackedT):
+            if labels is not None:
+                spec = pc.HeadLossSpec(geom=top.geom,
+                                       l_in=top.geom.lanes(top.c),
+                                       nc=self.num_classes)
+                y, stats, conf = PackedHeadLoss(
+                    self.num_classes, name="head")(top, labels, train)
+                return {"stats": stats, "conf": conf, "spec": spec,
+                        "n_pixels": labels.shape[0] * top.geom.h
+                        * top.geom.w, "logits_packed": y}
             logits = PackedConvBN(self.num_classes, use_bn=False,
                                   name="head")([top], train)
             return logits.unpack().astype(jnp.float32)

@@ -206,6 +206,37 @@ class PackedConvBN(nn.Module):
         return PackedT(y, pro, self.out_ch, g)
 
 
+class PackedHeadLoss(nn.Module):
+    """Segmentation head (3×3 conv + bias) with the DiceCE/confusion loss
+    surface fused into the kernel (``packed_chain.fused_head_loss``).
+
+    Parameter tree identical to ``PackedConvBN(out_ch, use_bn=False,
+    name="head")`` — checkpoints interchange; only the execution differs
+    (NHWC logits / one-hot / d(logits) never reach HBM)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, t: PackedT, masks, train: bool = False):
+        g = t.geom
+        kernel, b = _Kernel3x3(t.c, self.out_ch, use_bias=True,
+                               name="conv")()
+        cop = g.cp(self.out_ch)
+        spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(t.c), nc=self.out_ch)
+        if self.is_initializing():
+            n_b = t.data.shape[0]
+            return (jnp.zeros((n_b, g.h + 2, g.wbp, spec.lo), jnp.bfloat16),
+                    jnp.zeros((n_b, 4, spec.lo), jnp.float32),
+                    jnp.zeros((spec.lo, spec.lo), jnp.float32))
+        assert t.pro is not None and t.geom_src is None, \
+            "fused head loss expects a BN-deferred, non-lazy top feature"
+        tee = _toeplitz(kernel, g.p, g.cp(t.c), cop)
+        pro = _pro_lanes(t.pro, g.p, g.cp(t.c))
+        bias_l = pc.bias_lanes(b, g.p, cop)
+        labels_p = pc.pack_labels(masks, g, self.out_ch)
+        return pc.fused_head_loss(spec, t.data, tee, pro, bias_l, labels_p)
+
+
 def upsample_packed(t: PackedT, g_dst: pc.RowGeom) -> PackedT:
     """Nearest ×2 upsample into the destination row's geometry; the pending
     prologue commutes (elementwise).

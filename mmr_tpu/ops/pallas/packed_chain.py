@@ -1119,6 +1119,456 @@ def _fused_conv_bwd(cfg, res, cot):
 fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 
+# ----------------------------------------- fused head + DiceCE + confusion
+#
+# The segmentation head (3×3 conv → logits) fuses the ENTIRE training loss
+# surface: softmax/CE/dice statistics and the argmax confusion matrix are
+# computed in-VMEM on the logits tiles, and the backward kernel synthesizes
+# d(logits) from tiny per-(sample, class) cotangents — the NHWC logits, the
+# one-hot target and d(logits) never exist in HBM (the lane-split unpack,
+# the XLA loss passes and the d(logits) round-trip cost ~8 ms/step at 512²
+# b32). Reference semantics: MONAI DiceCELoss(softmax=True)
+# (``Main_MMR_SegModel.py:578,709``) + per-batch macro IoU
+# (``Main_MMR_SegModel.py:712``).
+
+@dataclasses.dataclass(frozen=True)
+class HeadLossSpec:
+    """Static config of the fused head+loss op (hashable)."""
+
+    geom: RowGeom
+    l_in: int            # input lanes (the pre-head feature row)
+    nc: int              # number of classes
+
+    @property
+    def lo(self) -> int:
+        return self.geom.lanes(self.nc)
+
+    @property
+    def cp(self) -> int:
+        return self.geom.cp(self.nc)
+
+    def vmem(self, th: int, backward: bool) -> int:
+        g = self.geom
+        tiles = 2 * (th + 2) * g.wbp * (self.l_in + self.lo) * 2
+        work = 4 * th * g.wbp * self.lo * 4
+        tees = 9 * self.l_in * self.lo * 2 + (self.nc + 1) * self.lo ** 2 * 4
+        stage = 2 * th * g.wbp * max(self.l_in, self.lo) * 2
+        if backward:
+            tiles += 2 * (th + 2) * g.wbp * self.lo * 2  # logits tiles
+            tees += 9 * self.l_in * self.lo * 4          # dT accumulator
+        return tiles + work + tees + stage
+
+    def th(self, backward: bool) -> int:
+        t = choose_th(self.geom.h, lambda c: self.vmem(c, backward))
+        assert t, f"no feasible row tile for {self}"
+        return t
+
+
+@functools.lru_cache(maxsize=None)
+def _loss_consts_np(p: int, cp: int, nc: int):
+    """(S, E): S (L, L) group-sum broadcast (lane (q,i) sums into every lane
+    of group q); E (nc, L, L) per-class broadcast (lane (q,c) to group q)."""
+    import numpy as np
+
+    l = p * cp
+    s = np.zeros((l, l), np.float32)
+    e = np.zeros((nc, l, l), np.float32)
+    for q in range(p):
+        s[q * cp:(q + 1) * cp, q * cp:(q + 1) * cp] = 1.0
+        for c in range(nc):
+            e[c, q * cp + c, q * cp:(q + 1) * cp] = 1.0
+    return s, e
+
+
+def _lane_class_masks(shape, cp: int, nc: int):
+    """(class-id, valid) lane patterns broadcast to ``shape``(+lanes)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    cls = lane % cp
+    return cls.astype(jnp.float32), cls < nc
+
+
+def _head_softmax(acc, labs, sgrp, cp, nc, valid=None):
+    """Shared fwd/bwd lane-space softmax pieces on a logits tile.
+
+    Returns (z, sums, probs, onehot, m). Invalid lanes (class pad) and — when
+    ``valid`` is given — out-of-image positions are excluded."""
+    clsv, vmask = _lane_class_masks(acc.shape, cp, nc)
+    if valid is not None:
+        vmask = jnp.logical_and(vmask, valid)
+    accm = jnp.where(vmask, acc, -1e30)
+    m = jnp.max(accm)
+    z = jnp.where(vmask, jnp.exp(acc - m), 0.0)
+    sums = jax.lax.dot_general(z, sgrp[...], (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    probs = z / jnp.maximum(sums, 1e-30)
+    onehot = jnp.where(jnp.logical_and(labs == clsv, vmask), 1.0, 0.0)
+    return z, sums, probs, onehot, m, accm
+
+
+def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
+                          emats, y_hbm, stats_ref, conf_ref, xt, lt, ystage,
+                          zstage, insem, outsem, halosem, *, th, n_i, geom,
+                          li, lo, cp, nc, n_b):
+    wb, wbp = geom.wb, geom.wbp
+    b, i = pl.program_id(0), pl.program_id(1)
+    k = b * n_i + i
+    total = n_b * n_i
+
+    def dma(src, dst, sem_i, slot, kk):
+        bb, ii = kk // n_i, kk % n_i
+        return pltpu.make_async_copy(src.at[bb, pl.ds(ii * th, th + 2)],
+                                     dst.at[slot], insem.at[sem_i, slot])
+
+    @pl.when(k == 0)
+    def _():
+        dma(x_hbm, xt, 0, 0, 0).start()
+        dma(lab_hbm, lt, 1, 0, 0).start()
+        conf_ref[:] = jnp.zeros_like(conf_ref)
+        zstage[:] = jnp.zeros_like(zstage)
+
+    @pl.when(k + 1 < total)
+    def _():
+        dma(x_hbm, xt, 0, (k + 1) % 2, k + 1).start()
+        dma(lab_hbm, lt, 1, (k + 1) % 2, k + 1).start()
+
+    @pl.when(i == 0)
+    def _():
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+        top = pltpu.make_async_copy(zstage, y_hbm.at[b, pl.ds(0, 1)],
+                                    halosem.at[0])
+        bot = pltpu.make_async_copy(
+            zstage, y_hbm.at[b, pl.ds(n_i * th + 1, 1)], halosem.at[1])
+        top.start()
+        bot.start()
+        top.wait()
+        bot.wait()
+
+    valid = _halo_mask(i, th, wb, wbp, n_i)
+    dma(x_hbm, xt, 0, k % 2, k).wait()
+    tile = _prologue(xt[k % 2], pro_ref, valid)
+    acc = jnp.zeros((th, wb, lo), jnp.float32)
+    for dy in range(3):
+        for dwb in range(3):
+            acc += jax.lax.dot_general(
+                tile[dy:dy + th, dwb:dwb + wb, :], t_ref[dy, dwb],
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc = acc + bias_ref[0][None, None, :]
+
+    # ---- loss statistics on the interior ----
+    dma(lab_hbm, lt, 1, k % 2, k).wait()
+    labs = lt[k % 2][1:1 + th, 1:1 + wb, :].astype(jnp.float32)
+    z, sums, probs, onehot, m, accm = _head_softmax(acc, labs, sgrp, cp, nc)
+    lse = jnp.log(jnp.maximum(sums, 1e-30)) + m
+    ce = onehot * (lse - acc)
+    stats_ref[0, 0, :] += jnp.sum(probs, axis=(0, 1))
+    stats_ref[0, 1, :] += jnp.sum(onehot, axis=(0, 1))
+    stats_ref[0, 2, :] += jnp.sum(probs * onehot, axis=(0, 1))
+    stats_ref[0, 3, :] += jnp.sum(ce, axis=(0, 1))
+
+    # ---- argmax → confusion partials (metrics only) ----
+    # track the best class INDEX during the scan: the per-class broadcast
+    # matmul (E_c) rounds on the MXU, so an equality test against the
+    # broadcast max silently drops pixels on hardware — comparing the
+    # broadcasts against each other is self-consistent and gives exact
+    # first-max argmax semantics
+    bv = jnp.full((th, wb, lo), -3e30, jnp.float32)
+    bidx = jnp.zeros((th, wb, lo), jnp.float32)
+    for c in range(nc):
+        vc = jax.lax.dot_general(accm, emats[c], (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        take = vc > bv
+        bv = jnp.where(take, vc, bv)
+        bidx = jnp.where(take, float(c), bidx)
+    clsv, vmask = _lane_class_masks((th, wb, lo), cp, nc)
+    pred_oh = jnp.where(jnp.logical_and(bidx == clsv, vmask), 1.0, 0.0)
+    conf_ref[:, :] += jax.lax.dot_general(
+        pred_oh.reshape(th * wb, lo), onehot.reshape(th * wb, lo),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    slot = k % 2
+
+    @pl.when(k >= 2)
+    def _():
+        _wait_copy(ystage.at[slot], outsem.at[slot])
+
+    ystage[slot] = jnp.pad(
+        acc.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+    pltpu.make_async_copy(
+        ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
+        outsem.at[slot]).start()
+
+    @pl.when(k + 1 == total)
+    def _():
+        _wait_copy(ystage.at[slot], outsem.at[slot])
+        if total > 1:
+            _wait_copy(ystage.at[1 - slot], outsem.at[1 - slot])
+
+
+def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
+                          sgrp, dst_ref, dx_hbm, dt_ref, dpro_ref, dbias_ref,
+                          yt, xt, lt, dxstage, zstage, insem, outsem,
+                          halosem, *, th, n_i, geom, li, lo, cp, nc, n_b):
+    """Synthesizes d(logits) in VMEM from the per-(b, lane) loss cotangents
+    ``dst_ref`` (4, lo): [dΣprobs, dΣonehot(unused), dΣ(probs·onehot), dce],
+    then runs the standard single-input backward (dT, dx, dpro, dbias)."""
+    wb, wbp = geom.wb, geom.wbp
+    b, i = pl.program_id(0), pl.program_id(1)
+    k = b * n_i + i
+    total = n_b * n_i
+
+    def dma(src, dst, sem_i, slot, kk):
+        bb, ii = kk // n_i, kk % n_i
+        return pltpu.make_async_copy(src.at[bb, pl.ds(ii * th, th + 2)],
+                                     dst.at[slot], insem.at[sem_i, slot])
+
+    def start_all(slot, kk):
+        dma(y_hbm, yt, 0, slot, kk).start()
+        dma(x_hbm, xt, 1, slot, kk).start()
+        dma(lab_hbm, lt, 2, slot, kk).start()
+
+    @pl.when(k == 0)
+    def _():
+        start_all(0, 0)
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+        dpro_ref[:] = jnp.zeros_like(dpro_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        zstage[:] = jnp.zeros_like(zstage)
+
+    @pl.when(k + 1 < total)
+    def _():
+        start_all((k + 1) % 2, k + 1)
+
+    @pl.when(i == 0)
+    def _():
+        top = pltpu.make_async_copy(zstage, dx_hbm.at[b, pl.ds(0, 1)],
+                                    halosem.at[0])
+        bot = pltpu.make_async_copy(
+            zstage, dx_hbm.at[b, pl.ds(n_i * th + 1, 1)], halosem.at[1])
+        top.start()
+        bot.start()
+        top.wait()
+        bot.wait()
+
+    slot = k % 2
+    valid = _halo_mask(i, th, wb, wbp, n_i)
+    dma(y_hbm, yt, 0, slot, k).wait()
+    dma(lab_hbm, lt, 2, slot, k).wait()
+    acc = yt[slot].astype(jnp.float32)            # halo'd logits tile
+    labs = lt[slot].astype(jnp.float32)
+    z, sums, probs, onehot, m, _ = _head_softmax(acc, labs, sgrp, cp, nc,
+                                                 valid=valid)
+    g_up = dst_ref[0, 0][None, None, :] \
+        + dst_ref[0, 2][None, None, :] * onehot
+    inner = jax.lax.dot_general(probs * g_up, sgrp[...],
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dacc = probs * (g_up - inner) \
+        + dst_ref[0, 3][None, None, :] * (probs - onehot)
+    dacc = jnp.where(valid, dacc, 0.0)
+    dy_bf = dacc.astype(jnp.bfloat16)
+    dy_int = dacc[1:1 + th, 1:1 + wb, :]
+    dy_flat = dy_int.astype(jnp.bfloat16).reshape(th * wb, lo)
+    dbias_ref[0, :] += jnp.sum(dy_int, axis=(0, 1))
+
+    dma(x_hbm, xt, 1, slot, k).wait()
+    x_tile = xt[slot]
+    a_tile = _prologue(x_tile, pro_ref, valid)
+    for dyy in range(3):
+        for dwb in range(3):
+            a2 = a_tile[dyy:dyy + th, dwb:dwb + wb, :].reshape(th * wb, li)
+            dt_ref[dyy, dwb] += jax.lax.dot_general(
+                a2, dy_flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    ga = jnp.zeros((th, wb, li), jnp.float32)
+    for dyy in range(3):
+        for dwb in range(3):
+            ga += jax.lax.dot_general(
+                dy_bf[dyy:dyy + th, dwb:dwb + wb, :], tts_ref[dyy, dwb],
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    xi = x_tile[1:1 + th, 1:1 + wb, :].astype(jnp.float32)
+    s = pro_ref[0][None, None, :]
+    t = pro_ref[1][None, None, :]
+    mask = (xi * s + t > 0.0).astype(jnp.float32)
+    gm = ga * mask
+    dpro_ref[0, :] += jnp.sum(gm * xi, axis=(0, 1))
+    dpro_ref[1, :] += jnp.sum(gm, axis=(0, 1))
+    ga = gm * s
+
+    @pl.when(k >= 2)
+    def _():
+        _wait_copy(dxstage.at[slot], outsem.at[slot])
+
+    dxstage[slot] = jnp.pad(
+        ga.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+    pltpu.make_async_copy(
+        dxstage.at[slot], dx_hbm.at[b, pl.ds(i * th + 1, th)],
+        outsem.at[slot]).start()
+
+    @pl.when(k + 1 == total)
+    def _():
+        _wait_copy(dxstage.at[slot], outsem.at[slot])
+        if total > 1:
+            _wait_copy(dxstage.at[1 - slot], outsem.at[1 - slot])
+
+
+def _head_loss_fwd_call(spec: HeadLossSpec, x, tee, pro, bias, labels):
+    g = spec.geom
+    th = spec.th(backward=False)
+    n_i = g.h // th
+    n_b = x.shape[0]
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    sgrp, emats = _loss_consts_np(g.p, spec.cp, spec.nc)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    in_specs += [const((3, 3, spec.l_in, spec.lo)), const((2, spec.l_in)),
+                 const((1, spec.lo)), const((spec.lo, spec.lo)),
+                 const((spec.nc, spec.lo, spec.lo))]
+    args = [x, labels, tee.astype(jnp.bfloat16), pro.astype(jnp.float32),
+            bias.astype(jnp.float32), jnp.asarray(sgrp), jnp.asarray(emats)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_b, g.h + 2, g.wbp, spec.lo), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_b, 4, spec.lo), jnp.float32),
+        jax.ShapeDtypeStruct((spec.lo, spec.lo), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, 4, spec.lo), lambda bb, ii: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((spec.lo, spec.lo)),
+    ]
+    scratch = [
+        pltpu.VMEM((2, th + 2, g.wbp, spec.l_in), jnp.bfloat16),
+        pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.bfloat16),
+        pltpu.VMEM((2, th, g.wbp, spec.lo), jnp.bfloat16),
+        pltpu.VMEM((1, g.wbp, spec.lo), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    return pl.pallas_call(
+        functools.partial(_head_loss_fwd_kernel, th=th, n_i=n_i, geom=g,
+                          li=spec.l_in, lo=spec.lo, cp=spec.cp, nc=spec.nc,
+                          n_b=n_b),
+        grid=(n_b, n_i),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def _head_loss_bwd_call(spec: HeadLossSpec, x, tee, pro, y, labels, dstats):
+    g = spec.geom
+    th = spec.th(backward=True)
+    n_i = g.h // th
+    n_b = x.shape[0]
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    sgrp, _ = _loss_consts_np(g.p, spec.cp, spec.nc)
+    tts = jnp.flip(tee, axis=(0, 1)).swapaxes(2, 3).astype(jnp.bfloat16)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    in_specs += [const((3, 3, spec.lo, spec.l_in)),
+                 const((2, spec.l_in)), const((spec.lo, spec.lo)),
+                 pl.BlockSpec((1, 4, spec.lo), lambda bb, ii: (bb, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    args = [y, x, labels, tts, pro.astype(jnp.float32), jnp.asarray(sgrp),
+            dstats.astype(jnp.float32)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_b, g.h + 2, g.wbp, spec.l_in), jnp.bfloat16),
+        jax.ShapeDtypeStruct((3, 3, spec.l_in, spec.lo), jnp.float32),
+        jax.ShapeDtypeStruct((2, spec.l_in), jnp.float32),
+        jax.ShapeDtypeStruct((1, spec.lo), jnp.float32),
+    ]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                 const((3, 3, spec.l_in, spec.lo)), const((2, spec.l_in)),
+                 const((1, spec.lo))]
+    scratch = [
+        pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.bfloat16),
+        pltpu.VMEM((2, th + 2, g.wbp, spec.l_in), jnp.bfloat16),
+        pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.bfloat16),
+        pltpu.VMEM((2, th, g.wbp, spec.l_in), jnp.bfloat16),
+        pltpu.VMEM((1, g.wbp, spec.l_in), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((3, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    return pl.pallas_call(
+        functools.partial(_head_loss_bwd_kernel, th=th, n_i=n_i, geom=g,
+                          li=spec.l_in, lo=spec.lo, cp=spec.cp, nc=spec.nc,
+                          n_b=n_b),
+        grid=(n_b, n_i),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_head_loss(spec: HeadLossSpec, x, tee, pro, bias, labels):
+    """Head conv + in-kernel loss statistics.
+
+    Returns ``(y_packed, stats, conf)``: packed logits (METRICS-ONLY — their
+    cotangent is ignored; gradients flow exclusively through ``stats``),
+    per-sample per-lane loss stats (n_b, 4, L) = [Σprobs, Σonehot,
+    Σprobs·onehot, Σce], and the (L, L) confusion partials (nondiff)."""
+    return _head_loss_fwd_call(spec, x, tee, pro, bias, labels)
+
+
+def _fused_head_loss_fwd(spec, x, tee, pro, bias, labels):
+    y, stats, conf = _head_loss_fwd_call(spec, x, tee, pro, bias, labels)
+    return (y, stats, conf), (x, tee, pro, y, labels)
+
+
+def _fused_head_loss_bwd(spec, res, cot):
+    x, tee, pro, y, labels = res
+    _, dstats, _ = cot
+    dx, dt, dpro, dbias = _head_loss_bwd_call(spec, x, tee, pro, y, labels,
+                                              dstats)
+    # labels are targets, not parameters — a symbolic-zero cotangent (XLA
+    # DCEs the materialization)
+    return dx, dt, dpro, dbias, jnp.zeros_like(labels)
+
+
+fused_head_loss.defvjp(_fused_head_loss_fwd, _fused_head_loss_bwd)
+
+
+def pack_labels(masks, g: RowGeom, nc: int):
+    """(B, H, W) int class ids → (B, H+2, wbp, L) bf16 lane-replicated labels
+    matching the logits row's lane layout (halo/pad positions get 255 ≠ any
+    class)."""
+    b, h, w = masks.shape
+    cp = g.cp(nc)
+    lab = masks.astype(jnp.bfloat16).reshape(b, h, g.wb, g.p)
+    lab = jnp.broadcast_to(lab[..., None], (b, h, g.wb, g.p, cp))
+    lab = lab.reshape(b, h, g.wb, g.p * cp)
+    return jnp.pad(lab, [(0, 0), (1, 1), (1, g.wbp - g.wb - 1), (0, 0)],
+                   constant_values=255.0)
+
+
+def assemble_dice_ce(spec: HeadLossSpec, stats, conf, n_pixels: int,
+                     smooth_nr: float = 1e-5, smooth_dr: float = 1e-5,
+                     lambda_dice: float = 1.0, lambda_ce: float = 1.0):
+    """MONAI DiceCELoss(softmax=True) + macro-IoU from the fused partials.
+
+    Matches ``losses.dice_ce.dice_ce_loss`` semantics exactly (per-sample
+    per-class dice ratios meaned over (B, C); CE meaned over pixels)."""
+    p, cp, nc = spec.geom.p, spec.cp, spec.nc
+    n_b = stats.shape[0]
+    per_c = stats.reshape(n_b, 4, p, cp)[..., :nc].sum(axis=2)  # (b, 4, nc)
+    probs_sum, onehot_sum, inter = per_c[:, 0], per_c[:, 1], per_c[:, 2]
+    ce_sum = stats[:, 3, :].sum()
+    dice = 1.0 - (2.0 * inter + smooth_nr) / (
+        probs_sum + onehot_sum + smooth_dr)
+    loss = lambda_dice * jnp.mean(dice) + lambda_ce * ce_sum / n_pixels
+    conf_c = jnp.einsum(
+        "qiqj->ij", jax.lax.stop_gradient(conf).reshape(p, cp, p, cp)
+    )[:nc, :nc]
+    return loss, conf_c
+
+
 # ------------------------------------------------------- BN-over-lanes math
 
 def moments_to_stats(mom, count: int, p: int, cop: int, cout: int):

@@ -53,6 +53,7 @@ def make_train_step(
     augment: AugmentConfig | Callable | None = None,
     preprocess: Callable | None = None,
     compute_iou: bool = True,
+    fused_head_loss: bool | None = None,
 ):
     """Returns ``step(state, images, masks, lr, rng) -> (state, metrics)``.
 
@@ -60,20 +61,44 @@ def make_train_step(
     — one stacked microbatch per accumulation step (the reference's
     ``grad_accumulate_step`` DataLoader batches), with the **B** axis sharded
     over the data mesh so every microbatch spans all devices.
+
+    ``fused_head_loss`` (default: auto) routes packed models with the exact
+    default-semantics ``dice_ce_loss`` through the fused head+loss kernel
+    (``packed_chain.fused_head_loss``): loss + per-batch macro IoU come from
+    tiny in-kernel partials and the NHWC logits / d(logits) never exist.
     """
+    from mmr_tpu.losses.dice_ce import dice_ce_loss as _default_dice_ce
+
+    if fused_head_loss is None:
+        fused_head_loss = (loss_fn is _default_dice_ce
+                           and getattr(model, "packed", False))
 
     def loss_and_updates(params, batch_stats, images, masks, rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if batch_stats else []
+        kw = {"labels": masks} if fused_head_loss else {}
         out = model.apply(variables, images, train=True,
-                          rngs={"dropout": rng}, mutable=mutable)
-        logits, new_stats = (out if mutable else (out, {}))
+                          rngs={"dropout": rng}, mutable=mutable, **kw)
+        res, new_stats = (out if mutable else (out, {}))
         if mutable:
             new_stats = new_stats["batch_stats"]
-        loss = loss_fn(logits, masks)
-        return loss, (new_stats, logits)
+        if isinstance(res, dict):  # fused head+loss partials
+            from mmr_tpu.ops.pallas.packed_chain import assemble_dice_ce
+            loss, conf_c = assemble_dice_ce(
+                res["spec"], res["stats"], res["conf"], res["n_pixels"])
+            tp = jnp.diagonal(conf_c)
+            fp = conf_c.sum(axis=1) - tp
+            fn = conf_c.sum(axis=0) - tp
+            tn = conf_c.sum() - tp - fp - fn
+            iou = iou_score(tp[None], fp[None], fn[None], tn[None],
+                            reduction="macro")
+            return loss, (new_stats, None, iou)
+        loss = loss_fn(res, masks)
+        iou = (_batch_iou(res, masks, num_classes) if compute_iou
+               else jnp.float32(0))
+        return loss, (new_stats, None, iou)
 
     grad_fn = jax.value_and_grad(loss_and_updates, has_aux=True)
 
@@ -92,9 +117,8 @@ def make_train_step(
                     img, msk = augment_train_batch(r[0], img, msk, augment)
                 else:  # custom callable, e.g. the Path-A pipeline
                     img, msk = augment(r[0], img, msk)
-            (loss, (new_stats, logits)), grads = grad_fn(
+            (loss, (new_stats, _, iou)), grads = grad_fn(
                 state.params, stats, img, msk, r[1])
-            iou = _batch_iou(logits, msk, num_classes) if compute_iou else jnp.float32(0)
             grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
             return (new_stats, grad_sum, loss_sum + loss, iou_sum + iou), None
 

@@ -371,3 +371,96 @@ class TestFusedUpsample:
         want = np.repeat(np.repeat(np.asarray(x, np.float32), 2, 1), 2, 2)
         np.testing.assert_allclose(np.asarray(up.unpack(), np.float32), want,
                                    atol=1e-2)
+
+
+class TestFusedHeadLoss:
+    """fused_head_loss + assemble_dice_ce must reproduce
+    ``dice_ce_loss(conv3x3(prologue(x)) + bias, masks)`` — value, every
+    gradient, and the argmax confusion/macro-IoU — without NHWC logits ever
+    materializing. Reference: MONAI DiceCELoss(softmax=True) + smp macro IoU
+    (``Main_MMR_SegModel.py:578,709,712``)."""
+
+    def _setup(self, rng):
+        g = pc.RowGeom(16, 32, 4, 8, 16)
+        B, CIN, NC = 2, 5, 3
+        x = jnp.asarray(rng.randn(B, g.h, g.w, CIN).astype(np.float32))
+        w3 = jnp.asarray(rng.randn(3, 3, CIN, NC).astype(np.float32) * 0.5)
+        bias = jnp.asarray(rng.randn(NC).astype(np.float32) * 0.1)
+        s = jnp.asarray(rng.rand(CIN).astype(np.float32) + 0.5)
+        t = jnp.asarray(rng.randn(CIN).astype(np.float32) * 0.3)
+        masks = jnp.asarray(rng.randint(0, NC, (B, g.h, g.w)))
+        return g, B, CIN, NC, x, w3, bias, s, t, masks
+
+    def test_loss_grads_confusion_match_unfused(self, rng):
+        from mmr_tpu.losses.dice_ce import dice_ce_loss
+
+        g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng)
+        spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(CIN), nc=NC)
+        cp = g.cp(CIN)
+
+        def fused(x, w3, s, t, bias):
+            pad = cp - CIN
+            pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g.p),
+                             jnp.tile(jnp.pad(t, (0, pad)), g.p)])
+            tee = _toeplitz(w3, g.p, cp, g.cp(NC))
+            bias_l = pc.bias_lanes(bias, g.p, g.cp(NC))
+            lab = pc.pack_labels(masks, g, NC)
+            y, stats, conf = pc.fused_head_loss(
+                spec, pc.to_packed(x, g), tee, pro, bias_l, lab)
+            loss, conf_c = pc.assemble_dice_ce(spec, stats, conf,
+                                               B * g.h * g.w)
+            return loss, (conf_c, y)
+
+        def unfused(x, w3, s, t, bias):
+            a = jnp.maximum(
+                x.astype(jnp.bfloat16).astype(jnp.float32) * s + t, 0.0)
+            logits = ref_conv(a.astype(jnp.bfloat16), w3) + bias
+            loss = dice_ce_loss(logits, masks)
+            preds = jnp.argmax(logits, axis=-1)
+            classes = jnp.arange(NC)
+            po = (preds[..., None] == classes).astype(jnp.float32)
+            to = (masks[..., None] == classes).astype(jnp.float32)
+            conf_c = jnp.einsum("bhwi,bhwj->ij", po, to)
+            return loss, (conf_c, logits)
+
+        (lf, (cf, y_p)), gf = jax.value_and_grad(
+            fused, argnums=(0, 1, 2, 3, 4), has_aux=True)(x, w3, s, t, bias)
+        (lr_, (cr, logits)), gr = jax.value_and_grad(
+            unfused, argnums=(0, 1, 2, 3, 4), has_aux=True)(x, w3, s, t, bias)
+
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(cf), np.asarray(cr), atol=2.0)
+        got = np.asarray(pc.from_packed(y_p, g, NC), np.float32)
+        np.testing.assert_allclose(got, np.asarray(logits, np.float32),
+                                   atol=0.1, rtol=0.05)
+        for n, a, b in zip(["dx", "dw", "dscale", "dshift", "dbias"], gf, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            assert err < 0.08, (n, err)
+
+    def test_fused_head_loss_model_path(self, rng):
+        """model.apply(..., labels=masks) routes the packed head through the
+        fused loss kernel; assembled loss matches dice_ce_loss on the same
+        model's NHWC logits."""
+        from mmr_tpu.losses.dice_ce import dice_ce_loss
+        from mmr_tpu.models.decoders import UnetPlusPlusModel
+        from mmr_tpu.ops.pallas.packed_chain import assemble_dice_ce
+
+        kw = dict(num_classes=5, encoder_name="tu-mobilenetv3_small_100")
+        std = UnetPlusPlusModel(**kw, packed=False)
+        pk = UnetPlusPlusModel(**kw, packed=True)
+        x = jnp.asarray(rng.rand(2, 128, 256, 3).astype(np.float32))
+        masks = jnp.asarray(rng.randint(0, 5, (2, 128, 256)))
+        variables = std.init(jax.random.key(0), x, train=False)
+        res, _ = pk.apply(variables, x, train=True, labels=masks,
+                          mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.key(1)})
+        assert isinstance(res, dict)
+        loss_f, conf_c = assemble_dice_ce(res["spec"], res["stats"],
+                                          res["conf"], res["n_pixels"])
+        y_pk, _ = pk.apply(variables, x, train=True,
+                           mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.key(1)})
+        loss_r = dice_ce_loss(y_pk, masks)
+        np.testing.assert_allclose(float(loss_f), float(loss_r), rtol=2e-2)
+        assert float(conf_c.sum()) == pytest.approx(2 * 128 * 256, rel=1e-6)
