@@ -56,9 +56,9 @@ from mmr_tpu.ops.pallas.conv3x3_packed import (
 )
 
 _INTERPRET = False
-# v5e has 128 MB VMEM/core; 24 MB of modeled footprint leaves ample head-
-# room for Mosaic's own staging while letting the 512² backward groups run
-# th=32 row tiles (6% halo re-read overhead instead of 12.5% at th=16)
+# v5e has 128 MB VMEM/core; 24 MB of modeled footprint leaves headroom for
+# Mosaic's own staging while letting the 512² backward groups run th=32-64
+# row tiles (32 MB measured SLOWER — larger tiles thrash real VMEM)
 _VMEM_BUDGET = 24 * 1024 * 1024
 
 
@@ -1438,7 +1438,7 @@ def _head_loss_fwd_call(spec: HeadLossSpec, x, tee, pro, bias, labels):
     ]
     scratch = [
         pltpu.VMEM((2, th + 2, g.wbp, spec.l_in), jnp.bfloat16),
-        pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.bfloat16),
+        pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.int8),   # labels
         pltpu.VMEM((2, th, g.wbp, spec.lo), jnp.bfloat16),
         pltpu.VMEM((1, g.wbp, spec.lo), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((2, 2)),
@@ -1486,7 +1486,7 @@ def _head_loss_bwd_call(spec: HeadLossSpec, x, tee, pro, y, labels, dstats):
     scratch = [
         pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.bfloat16),
         pltpu.VMEM((2, th + 2, g.wbp, spec.l_in), jnp.bfloat16),
-        pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.bfloat16),
+        pltpu.VMEM((2, th + 2, g.wbp, spec.lo), jnp.int8),   # labels
         pltpu.VMEM((2, th, g.wbp, spec.l_in), jnp.bfloat16),
         pltpu.VMEM((1, g.wbp, spec.l_in), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((3, 2)),
@@ -1536,16 +1536,16 @@ fused_head_loss.defvjp(_fused_head_loss_fwd, _fused_head_loss_bwd)
 
 
 def pack_labels(masks, g: RowGeom, nc: int):
-    """(B, H, W) int class ids → (B, H+2, wbp, L) bf16 lane-replicated labels
-    matching the logits row's lane layout (halo/pad positions get 255 ≠ any
-    class)."""
+    """(B, H, W) int class ids → (B, H+2, wbp, L) int8 lane-replicated labels
+    matching the logits row's lane layout (halo/pad positions get 127 ≠ any
+    class; int8 halves the label traffic of the fused head loss vs bf16)."""
     b, h, w = masks.shape
     cp = g.cp(nc)
-    lab = masks.astype(jnp.bfloat16).reshape(b, h, g.wb, g.p)
+    lab = masks.astype(jnp.int8).reshape(b, h, g.wb, g.p)
     lab = jnp.broadcast_to(lab[..., None], (b, h, g.wb, g.p, cp))
     lab = lab.reshape(b, h, g.wb, g.p * cp)
     return jnp.pad(lab, [(0, 0), (1, 1), (1, g.wbp - g.wb - 1), (0, 0)],
-                   constant_values=255.0)
+                   constant_values=127)
 
 
 def assemble_dice_ce(spec: HeadLossSpec, stats, conf, n_pixels: int,
