@@ -35,6 +35,16 @@ A100_REFERENCE_TRAIN_FPS = 120.0  # documented estimate, see module docstring
 
 def main():
     import jax
+
+    # persistent compilation cache: the fused-kernel step compiles ~15-20 min
+    # over the remote-TPU tunnel; cache hits bring repeat runs (e.g. the
+    # driver's end-of-round bench after a dev-session bench) to seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from mmr_tpu.core.mesh import create_mesh, shard_batch
