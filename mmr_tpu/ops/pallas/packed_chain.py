@@ -1119,6 +1119,69 @@ def _fused_conv_bwd(cfg, res, cot):
 fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 
+# ------------------------------------------ stride-2 (downsample) conv taps
+#
+# Groundwork for the round-3 packed encoder front-end (docs/PERF.md handoff):
+# a 3×3 stride-2 conv consumed directly from a packed SOURCE tensor. With
+# the geometries chosen so that p_src = 2·p_dst, source and destination
+# have the SAME block count (wb_s == wb_d), so column taps reduce to plain
+# δ ∈ {-1, 0} block shifts and row taps to the three parity views
+# x[2r_d + a] of the halo'd source tile (the untiled-dim reshape trick the
+# row-folded backward already uses). Verified against
+# ``lax.conv(stride=2, padding=(1,1))`` in tests/test_packed_chain.py.
+
+@functools.lru_cache(maxsize=None)
+def _down_scatter_np(p_s: int, p_d: int):
+    """M[dx, δ+1, q_s, q_d] ∈ {0,1}: column tap dx routes src pixel q_s of
+    block offset δ to dst pixel q_d (p_s == 2·p_d; each slot has at most one
+    contributing dx, so the einsum build is exact)."""
+    import numpy as np
+
+    assert p_s == 2 * p_d
+    m = np.zeros((3, 2, p_s, p_d), np.float32)
+    for q_d in range(p_d):
+        for dx in range(3):
+            t = 2 * q_d + dx - 1
+            d = t // p_s          # -1 or 0
+            m[dx, d + 1, t - d * p_s, q_d] = 1.0
+    return m
+
+
+def toeplitz_down(w3, g_src: RowGeom, g_dst: RowGeom):
+    """(3,3,Cin,Cout) -> (3, 2, L_src, L_dst) bf16 stride-2 taps, indexed by
+    (row tap a, src-block offset δ+1). Consumer contraction:
+    ``y[r_d] = Σ_{a,δ} x_parity_view_a[r_d, blocks+δ] @ T[a, δ+1]`` where
+    ``x_parity_view_a[r_d] = x_halo[2·r_d + a]``."""
+    cin, cout = w3.shape[2], w3.shape[3]
+    p_s, p_d = g_src.p, g_dst.p
+    cp_s, cop = g_src.cp(cin), g_dst.cp(cout)
+    m = jnp.asarray(_down_scatter_np(p_s, p_d))
+    t = jnp.einsum("xdsq,axio->adsiqo", m, w3.astype(jnp.float32))
+    t = jnp.pad(t, [(0, 0), (0, 0), (0, 0), (0, cp_s - cin), (0, 0),
+                    (0, cop - cout)])
+    return t.reshape(3, 2, p_s * cp_s, p_d * cop).astype(jnp.bfloat16)
+
+
+def conv3x3_s2_packed_ref(xp, taps, g_src: RowGeom, g_dst: RowGeom):
+    """jnp reference consumer of :func:`toeplitz_down` (whole image, no
+    tiling) — the contraction a round-3 kernel will perform per row tile.
+    ``xp``: packed-halo src (B, H_s+2, wbp_s, L_s) → packed-halo dst."""
+    b = xp.shape[0]
+    h_d, wb_d, lo = g_dst.h, g_dst.wb, taps.shape[-1]
+    acc = jnp.zeros((b, h_d, wb_d, lo), jnp.float32)
+    for a in range(3):
+        # row parity view: dst row r_d reads src halo'd row 2 r_d + a
+        va = xp[:, a:a + 2 * h_d].reshape(b, h_d, 2, xp.shape[2],
+                                          xp.shape[3])[:, :, 0]
+        for d in (-1, 0):
+            sl = va[:, :, d + 1:d + 1 + wb_d, :]
+            acc += jax.lax.dot_general(
+                sl, taps[a, d + 1], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return jnp.pad(acc.astype(jnp.bfloat16),
+                   [(0, 0), (1, 1), (1, g_dst.wbp - wb_d - 1), (0, 0)])
+
+
 # ----------------------------------------- fused head + DiceCE + confusion
 #
 # The segmentation head (3×3 conv → logits) fuses the ENTIRE training loss

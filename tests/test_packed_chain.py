@@ -464,3 +464,26 @@ class TestFusedHeadLoss:
         loss_r = dice_ce_loss(y_pk, masks)
         np.testing.assert_allclose(float(loss_f), float(loss_r), rtol=2e-2)
         assert float(conf_c.sum()) == pytest.approx(2 * 128 * 256, rel=1e-6)
+
+
+def test_stride2_down_taps_match_lax_conv(rng):
+    """toeplitz_down + the parity-view contraction == conv3x3 stride 2
+    padding (1,1) — the round-3 packed-encoder front-end groundwork
+    (reference stem semantics: timm mobilenetv3 conv_stem, stride 2)."""
+    g_src = pc.RowGeom(16, 64, 8, 8, 16)
+    g_dst = pc.RowGeom(8, 32, 4, 8, 16)
+    B, CIN, CO = 2, 3, 6
+    x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, CIN).astype(np.float32))
+    w3 = jnp.asarray(rng.randn(3, 3, CIN, CO).astype(np.float32) * 0.3)
+
+    taps = pc.toeplitz_down(w3, g_src, g_dst)
+    y_p = pc.conv3x3_s2_packed_ref(pc.to_packed(x, g_src), taps, g_src,
+                                   g_dst)
+    got = np.asarray(pc.from_packed(y_p, g_dst, CO), np.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16).astype(jnp.float32),
+        w3.astype(jnp.bfloat16).astype(jnp.float32), (2, 2),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(got, np.asarray(ref, np.float32),
+                               atol=0.05, rtol=0.05)
