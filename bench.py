@@ -65,12 +65,14 @@ def main():
     model, _ = create_model("UnetPlusPlus",
                             encoder_name="tu-mobilenetv3_small_100",
                             classes=classes,
-                            packed=True)  # packed-halo fused decoder kernels
+                            packed=True,           # packed-halo fused decoder
+                            packed_frontend=True)  # + packed mbv3 stem/b0_0
     pre = get_preprocessing("tu-mobilenetv3_small_100")
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        # param shapes are spatial-size independent — init at 64×64 for speed
+        # param shapes are spatial-size independent — init small for speed
+        # (128², the smallest width the packed front-end geometries accept)
         variables = model.init({"params": jax.random.key(0)},
-                               jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+                               jnp.zeros((1, 128, 128, 3), jnp.float32), train=False)
     optimizer = build_optimizer("adamw", clip_grad_norm=12.0, weight_decay=1e-4)
     state = TrainState.create(jax.device_put(variables), optimizer)
     step = make_train_step(model, optimizer, dice_ce_loss, classes, mesh=mesh,

@@ -29,10 +29,10 @@ def main():
 
     model, _ = create_model("UnetPlusPlus",
                             encoder_name="tu-mobilenetv3_small_100", classes=10,
-                            packed=True)
+                            packed=True, packed_frontend=True)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init({"params": jax.random.key(0)},
-                               jnp.zeros((1, 64, 64, 3), jnp.float32),
+                               jnp.zeros((1, 128, 128, 3), jnp.float32),
                                train=False)
     variables = jax.device_put(variables)
     pre = get_preprocessing("tu-mobilenetv3_small_100")

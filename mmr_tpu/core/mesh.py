@@ -29,6 +29,27 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def all_reduce_moments(moments, count: int):
+    """psum BN moment sums over the data axis when tracing inside a
+    ``shard_map`` (the packed multi-device train path) — sync-BN semantics
+    matching the GSPMD path's global batch statistics. A no-op outside a
+    sharded context (single device, or GSPMD where XLA globalizes the
+    reductions itself). Returns ``(moments, global_count)``."""
+    try:
+        n = jax.lax.psum(1, DATA_AXIS)
+    except NameError:
+        return moments, count
+    return jax.lax.psum(moments, DATA_AXIS), count * n
+
+
+def psum_if_sharded(x):
+    """psum over the data axis iff it is bound (shard_map context)."""
+    try:
+        return jax.lax.psum(x, DATA_AXIS)
+    except NameError:
+        return x
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
     """Declarative mesh description (config-level object).

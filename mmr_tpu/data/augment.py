@@ -172,8 +172,14 @@ def _affine_batch_shared(images, masks, angle, scale, out_hw):
     xx = jnp.arange(ow, dtype=jnp.float32) - (ow - 1) / 2.0
     gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
     ca, sa = jnp.cos(angle), jnp.sin(angle)
-    sy = (gy * ca - gx * sa) * scale + (ih - 1) / 2.0
-    sx = (gy * sa + gx * ca) * scale + (iw - 1) / 2.0
+    # source-center convention matches _center_crop's floor offset
+    # ((ih-oh)//2) so the identity warp (angle=0, scale=1) is EXACTLY the
+    # center crop the lax.cond skip path takes — no half-pixel bilinear blend
+    # when ih-oh is odd (for even margins this equals the old (ih-1)/2)
+    cy = (ih - oh) // 2 + (oh - 1) / 2.0
+    cx = (iw - ow) // 2 + (ow - 1) / 2.0
+    sy = (gy * ca - gx * sa) * scale + cy
+    sx = (gy * sa + gx * ca) * scale + cx
     coords = jnp.stack([sy, sx])
     # bf16 pixel gathers: halves the ~100 MB/corner bilinear traffic; the
     # images are 8-bit-origin so bf16 sampling noise (~3e-3) is far below
@@ -246,6 +252,12 @@ def _simulate_low_res_shared(images, scale, gate_bc):
 def augment_train_batch(key, images, masks, cfg: AugmentConfig):
     """images (N, iH, iW, C) f32 in [0,1]; masks (N, iH, iW) int →
     patch-sized augmented batch.
+
+    Output dtype: **bfloat16** whenever any intensity transform is enabled
+    (the chain runs in bf16 to halve its HBM traffic; 8-bit-origin pixels
+    lose nothing relevant), otherwise the input dtype. Consumers needing f32
+    (external parity comparisons) should cast; the train step's model casts
+    to its compute dtype anyway.
 
     All randomness is drawn in ~20 bulk ops (per-sample key plumbing costs
     ~1 s/step in tiny threefry draws). Spatial transforms (rotation/scaling/

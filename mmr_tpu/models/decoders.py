@@ -66,7 +66,13 @@ class _EncoderMixin:
         from mmr_tpu.models.encoders import get_encoder
 
         spec = get_encoder(self.encoder_name)
-        return spec.build(self.dtype, "encoder")(x, train)
+        if getattr(self, "packed_frontend", False):
+            # run the encoder front-end as packed fused kernels; high-res
+            # features come back as PackedT (packed_encoder.py)
+            enc = spec.build(self.dtype, "encoder", packed_frontend=True)
+        else:
+            enc = spec.build(self.dtype, "encoder")
+        return enc(x, train)
 
 
 class UnetDecoderModel(nn.Module, _EncoderMixin):
@@ -143,15 +149,20 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
     deep_supervision: bool = False
     packed: bool = False
     packed_min_hw: int = 64 * 64  # nodes with out H*W >= this go packed
+    # run the encoder's high-res front-end as packed fused kernels too
+    # (mbv3 stem + b0_0; requires packed=True and input width % 128 == 0)
+    packed_frontend: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False, labels=None):
+        assert not self.packed_frontend or self.packed, \
+            "packed_frontend requires packed=True"
         feats = self._encode(x, train)
         feats = [f for f in feats if f is not None]
         fr = feats[::-1]                       # [f5 .. f1], smp order
         depth = len(fr) - 1
-        enc_ch = tuple(f.shape[-1] for f in feats)
+        enc_ch = tuple(getattr(f, "c", None) or f.shape[-1] for f in feats)
         plan = smp_unetpp_plan(enc_ch, self.decoder_channels)
         if self.packed:
             return self._packed_decoder(fr, depth, plan, train, labels)
@@ -210,7 +221,7 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         assert not self.deep_supervision, "packed path: deep_supervision off"
 
         # input-piece channel lists per node (python-static, from the plan)
-        enc_rev = [f.shape[-1] for f in fr]
+        enc_rev = [getattr(f, "c", None) or f.shape[-1] for f in fr]
         pieces: dict[tuple[int, int], list[int]] = {}
         for (d, l), (in_ch, skip_ch, out_ch) in plan.items():
             if l == d and l < depth:      # layer-0 node: up(feat) + feat
@@ -270,15 +281,22 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         # encoder features feed every node of their scale row — pack each
         # (feature, geometry) pair ONCE so the fwd packs don't repeat and the
         # bwd cotangents sum in packed space (one unpack-transpose instead of
-        # one per consumer; the 4x ~0.8 ms relayout copies in the r2 trace)
+        # one per consumer; the 4x ~0.8 ms relayout copies in the r2 trace).
+        # packed_frontend features arrive as PackedT already — consumed
+        # directly (pending prologue and all) when the geometry matches.
         packed_fr: dict[int, object] = {}
 
         def feat_packed(l):
             g = geoms[l]
+            f = fr[l + 1]
+            if isinstance(f, PackedT):
+                if g is not None and f.geom == g and f.geom_src is None:
+                    return f
+                f = f.unpack()
             if g is None:
-                return fr[l + 1]
+                return f
             if l not in packed_fr:
-                packed_fr[l] = pack_into(fr[l + 1], g)
+                packed_fr[l] = pack_into(f, g)
             return packed_fr[l]
 
         def run_node(d, l, x_in, skips):

@@ -43,11 +43,11 @@ ENCODERS: dict[str, EncoderSpec] = {
     # timm-universal naming used by the reference config
     # (common_utils.py:236: 'tu-mobilenetv3_small_100')
     "tu-mobilenetv3_small_100": EncoderSpec(
-        build=lambda dtype, name: MobileNetV3SmallEncoder(dtype=dtype, name=name),
+        build=lambda dtype, name, **kw: MobileNetV3SmallEncoder(dtype=dtype, name=name, **kw),
         channels=(16, 16, 24, 48, 576),
     ),
     "mobilenetv3_small_100": EncoderSpec(
-        build=lambda dtype, name: MobileNetV3SmallEncoder(dtype=dtype, name=name),
+        build=lambda dtype, name, **kw: MobileNetV3SmallEncoder(dtype=dtype, name=name, **kw),
         channels=(16, 16, 24, 48, 576),
     ),
     # PKG-INFO Example 3 encoder family (tu-convnextv2_tiny)

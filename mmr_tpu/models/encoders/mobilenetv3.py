@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mmr_tpu.models.layers import SqueezeExcite, hard_swish
+from mmr_tpu.models.layers import FusedBatchNorm, SqueezeExcite, hard_swish
 
 
 def _make_divisible(v: float, divisor: int = 8) -> int:
@@ -43,7 +43,7 @@ class InvertedResidual(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = nn.relu if self.act == "relu" else hard_swish
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name)
         in_ch = x.shape[-1]
@@ -83,7 +83,7 @@ class DepthwiseSeparable(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = nn.relu if self.act == "relu" else hard_swish
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name)
         in_ch = x.shape[-1]
@@ -106,21 +106,35 @@ class DepthwiseSeparable(nn.Module):
 
 class MobileNetV3SmallEncoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
+    # Run the stem + b0_0 front-end as packed-halo fused kernels
+    # (models/packed_encoder.py) and return f1/f2 as PackedT (raw +
+    # pending-prologue) — only valid when the consumer is the packed
+    # UNet++ decoder. Identical parameter tree either way.
+    packed_frontend: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name)
-        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv_stem")(x)
-        f1 = hard_swish(bn("bn1")(x))  # s2, 16
-
         ir = lambda *a, **kw: InvertedResidual(*a, dtype=self.dtype, **kw)
-        f2 = DepthwiseSeparable(16, 3, 2, True, "relu", dtype=self.dtype, name="b0_0")(f1, train)  # s4, 16
+        if self.packed_frontend:
+            from mmr_tpu.models.packed_encoder import (PackedDSBlock,
+                                                       packed_stem)
 
-        x = ir(72, 24, 3, 2, False, "relu", name="b1_0")(f2, train)
+            f1 = packed_stem(self, x, train)  # s2, 16 (PackedT, hswish pend.)
+            f2 = PackedDSBlock(16, dtype=self.dtype, name="b0_0")(f1, train)
+            x2 = f2.unpack().astype(self.dtype)  # NHWC for the XLA tail
+        else:
+            x = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv_stem")(x)
+            f1 = hard_swish(bn("bn1")(x))  # s2, 16
+            f2 = DepthwiseSeparable(16, 3, 2, True, "relu", dtype=self.dtype,
+                                    name="b0_0")(f1, train)  # s4, 16
+            x2 = f2
+
+        x = ir(72, 24, 3, 2, False, "relu", name="b1_0")(x2, train)
         f3 = ir(88, 24, 3, 1, False, "relu", name="b1_1")(x, train)  # s8, 24
 
         x = ir(96, 40, 5, 2, True, "hardswish", name="b2_0")(f3, train)

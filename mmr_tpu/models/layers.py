@@ -101,7 +101,10 @@ class ConvBN(nn.Module):
                 name="conv",
             )(x)
         if self.use_bn:
-            x = nn.BatchNorm(
+            # FusedBatchNorm: single-pass statistics + data-axis sync under
+            # shard_map (the packed multi-device path); param-identical to
+            # nn.BatchNorm
+            x = FusedBatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - self.bn_momentum,
                 epsilon=1e-5,
@@ -110,6 +113,58 @@ class ConvBN(nn.Module):
                 name="bn",
             )(x)
         return ACTIVATIONS[self.act](x)
+
+
+class FusedBatchNorm(nn.Module):
+    """``nn.BatchNorm``-compatible (identical params/variables/semantics) but
+    computes the batch statistics as ONE fused pass — sum and sum-of-squares
+    reduced together, var = E[x²] − E[x]² (biased, like flax) — instead of
+    flax's two dependent reductions (mean, then mean(|x−mean|²)), halving the
+    BN-statistics HBM traffic of XLA-path conv stacks (the r2 trace's
+    ~5.5 ms of convert_reduce time on the mbv3 encoder). The normalization is
+    folded to one per-channel affine."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            from mmr_tpu.core.mesh import all_reduce_moments
+
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            n = x.size // c
+            sums = jnp.stack([jnp.sum(xf, axis=axes),
+                              jnp.sum(xf * xf, axis=axes)])
+            sums, n = all_reduce_moments(sums, n)  # sync-BN under shard_map
+            mean = sums[0] / n
+            var = jnp.maximum(sums[1] / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value \
+                    + (1 - m) * jax.lax.stop_gradient(mean)
+                ra_var.value = m * ra_var.value \
+                    + (1 - m) * jax.lax.stop_gradient(var)
+        s = scale * jax.lax.rsqrt(var + self.epsilon)
+        t = bias - mean * s
+        return x * s.astype(self.dtype) + t.astype(self.dtype)
 
 
 class SqueezeExcite(nn.Module):
@@ -162,7 +217,7 @@ class ConvTransposeBN(nn.Module):
             use_bias=False,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = FusedBatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,
             epsilon=1e-5,

@@ -26,10 +26,11 @@ from mmr_tpu.ops.pallas import packed_chain as pc
 
 @struct.dataclass
 class PackedT:
-    """A packed-halo tensor plus its pending (BN+ReLU) prologue.
+    """A packed-halo tensor plus its pending (BN + activation) prologue.
 
     ``data`` is raw/pre-BN; ``pro`` is per-channel (2, C) f32 (scale, shift)
-    to be applied (with ReLU) by whichever kernel consumes it, or None.
+    to be applied (with ``act``: relu / hswish / linear) by whichever kernel
+    consumes it, or None.
 
     When ``geom_src`` is set the tensor is a *lazy ×2-nearest-upsample*:
     ``data`` is stored at the coarse ``geom_src`` geometry and consumers
@@ -43,6 +44,7 @@ class PackedT:
     geom: pc.RowGeom = struct.field(pytree_node=False)
     geom_src: Optional[pc.RowGeom] = struct.field(pytree_node=False,
                                                   default=None)
+    act: str = struct.field(pytree_node=False, default="relu")
 
     def unpack(self):
         g = self.geom_src or self.geom
@@ -50,7 +52,7 @@ class PackedT:
         if self.pro is not None:
             s = self.pro[0].astype(x.dtype)
             t = self.pro[1].astype(x.dtype)
-            x = jnp.maximum(x * s + t, 0)
+            x = pc._apply_act(x * s + t, self.act)
         if self.geom_src is not None:  # materialize the pending upsample
             b, h, w, c = x.shape
             x = jnp.broadcast_to(x[:, :, None, :, None, :],
@@ -126,6 +128,9 @@ class DeferredBN(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.ch,), jnp.float32))
         if train and moments is not None:
+            from mmr_tpu.core.mesh import all_reduce_moments
+
+            moments, count = all_reduce_moments(moments, count)
             mean, var = pc.moments_to_stats(moments, count, p, cop, self.ch)
             if not self.is_initializing():
                 m = self.momentum
@@ -191,7 +196,8 @@ class PackedConvBN(nn.Module):
                 geom=g,
                 l_list=tuple(lanes),
                 lo=g.lanes(self.out_ch),
-                pro_mask=tuple(p is not None for p in pros),
+                pro_mask=tuple(t.act if p is not None else None
+                               for t, p in zip(inputs, pros)),
                 has_bias=not self.use_bn,
                 emit_moments=emit,
                 up_spec=tuple(specs))
@@ -245,8 +251,8 @@ def upsample_packed(t: PackedT, g_dst: pc.RowGeom) -> PackedT:
     source resolution and the consumer kernel absorbs the upsample into its
     Toeplitz taps (no HBM materialization). Falls back to materializing."""
     if t.geom_src is None and pc.up_compatible(t.geom, g_dst):
-        return PackedT(t.data, t.pro, t.c, g_dst, geom_src=t.geom)
+        return PackedT(t.data, t.pro, t.c, g_dst, geom_src=t.geom, act=t.act)
     src = t.data if t.geom_src is None else pc.to_packed(t.unpack(), t.geom)
     data = pc.upsample2x_packed(src, t.geom, t.c, g_dst)
     pro = t.pro if t.geom_src is None else None
-    return PackedT(data, pro, t.c, g_dst)
+    return PackedT(data, pro, t.c, g_dst, act=t.act)

@@ -1,0 +1,208 @@
+"""Packed-halo execution of the MobileNetV3 encoder front-end (round 3).
+
+The reference's default encoder is timm ``mobilenetv3_small_100`` consumed
+through smp's TimmUniversalEncoder (``common_utils.py:236``,
+``Main_MMR_SegModel.py:589``). Its two highest-resolution stages — the
+stride-2 stem at the input resolution and the ``b0_0`` depthwise-separable
+block at stride 2 — dominate the encoder's step time on XLA (im2col'd
+small-channel convs + separate BatchNorm reduction passes). Here they run in
+the packed-halo dataflow of ``ops/pallas/packed_chain.py``:
+
+- **stem**: one ``fused_conv_down`` launch (stride-2 Toeplitz taps) reading
+  the packed image once and writing the raw stride-2 feature once, with BN
+  moments emitted in-kernel; BN + hardswish travel as a pending prologue.
+- **b0_0 depthwise**: a second ``fused_conv_down`` launch with a
+  diagonal-expanded kernel that consumes the stem output *raw* (applying its
+  pending BN + hardswish in the kernel prologue) — the activated stem tensor
+  never exists in HBM.
+- **SE + pointwise**: XLA ops in packed-lane space; the 1×1 conv runs as a
+  block-diagonal lane GEMM that simultaneously converts the packing geometry
+  to whatever the packed decoder wants for this scale (no relayout pass).
+
+Parameter/variable trees are IDENTICAL to the unfused
+``MobileNetV3SmallEncoder`` modules (``conv_stem``, ``bn1``, ``b0_0/...``),
+so checkpoints interchange between the packed and standard encoders.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmr_tpu.models.packed_blocks import DeferredBN, PackedT, _pro_lanes
+from mmr_tpu.ops.pallas import packed_chain as pc
+
+
+def image_geom(h: int, w: int) -> pc.RowGeom | None:
+    """Packing geometry for the 3-channel input image: p=16 (cp(3)=8 →
+    128 lanes) so the stem's stride-2 destination lands at p=8 — the decoder's
+    native packing for the stride-2 skip row."""
+    if w % 16 or (w // 16) % 8 or w // 16 < 8 or h % 4:
+        return None
+    wb = w // 16
+    return pc.RowGeom(h, w, 16, wb, pc._round_up(wb + 2, 8))
+
+
+def down_geom(g: pc.RowGeom) -> pc.RowGeom:
+    """Destination geometry of a stride-2 packed conv from ``g``
+    (p halves, block count unchanged)."""
+    return pc.RowGeom(g.h // 2, g.w // 2, g.p // 2, g.wb, g.wbp)
+
+
+def best_geom(h: int, w: int) -> pc.RowGeom | None:
+    """Largest-p geometry for (h, w) — mirrors the packed decoder's
+    ``choose_geom`` preference so encoder outputs land decoder-native."""
+    for p in (8, 4, 2, 1):
+        if 128 % p or w % p:
+            continue
+        wb = w // p
+        if wb >= 8 and wb % 8 == 0:
+            return pc.RowGeom(h, w, p, wb, pc._round_up(wb + 2, 8))
+    return None
+
+
+class _KParam(nn.Module):
+    """Registers a conv kernel param exactly like ``nn.Conv`` (HWIO,
+    lecun-normal) without running a convolution."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _SEGate(nn.Module):
+    """SqueezeExcite's two 1×1 convs on an already-pooled (B, 1, 1, C)
+    vector — parameter tree identical to ``layers.SqueezeExcite`` (submodules
+    ``conv_reduce`` / ``conv_expand``), returning the hard-sigmoid gate."""
+
+    reduced: int
+    ch: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled):
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_reduce")(pooled)
+        s = nn.relu(s)
+        s = nn.Conv(self.ch, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_expand")(s)
+        return nn.relu6(s.astype(jnp.float32) + 3.0) / 6.0
+
+
+def packed_stem(parent, x, train: bool = False) -> PackedT:
+    """3×3/2 conv 3→16 + BN + hardswish as one fused_conv_down launch.
+
+    Called from inside the encoder's ``@nn.compact __call__`` so the params
+    register at the ENCODER's top level (``conv_stem/kernel`` +
+    ``bn1/{scale,bias}`` + batch_stats), matching the unfused encoder
+    exactly. Reference: timm mobilenetv3 ``conv_stem``."""
+    b, h, w, _ = x.shape
+    g_img = image_geom(h, w)
+    assert g_img is not None, \
+        f"packed stem needs w a multiple of 128 (got input {x.shape})"
+    g1 = down_geom(g_img)
+    kernel = _KParam((3, 3, 3, 16), name="conv_stem")()
+    cop = g1.cp(16)
+    emit = bool(train)
+    if parent.is_initializing():
+        y = jnp.zeros((b, g1.h + 2, g1.wbp, g1.lanes(16)), jnp.bfloat16)
+        mom = jnp.zeros((2, g1.lanes(16)), jnp.float32) if emit else None
+    else:
+        cfg = pc.DownCfg(g_src=g_img, g_dst=g1,
+                         l_in=g_img.lanes(3), lo=g1.lanes(16),
+                         pro=None, has_bias=False, emit_moments=emit,
+                         need_dx=False)
+        xp = pc.to_packed(x, g_img)
+        y, mom = pc.fused_conv_down(cfg, xp, kernel, None, None)
+    pro = DeferredBN(16, name="bn1")(mom, b * g1.h * g1.w, g1.p, cop, train)
+    return PackedT(y, pro, 16, g1, act="hswish")
+
+
+def _geom_convert_mats(p_a: int, cp_a: int, p_b: int, cp_b: int, w_pw,
+                       cin: int):
+    """Block-diagonal lane-GEMM matrix ((r·L_a), L_b) embedding the 1×1 conv
+    ``w_pw`` (cin, cout) while converting packing (p_a, cp_a) → (p_b, cp_b),
+    r = p_b/p_a ∈ {1, 2} (r=2 merges adjacent block pairs into lanes — a
+    free trailing-dim reshape on the core, no relayout)."""
+    r = p_b // p_a
+    cout = w_pw.shape[1]
+    wp = jnp.pad(w_pw, [(0, cp_a - cin), (0, cp_b - cout)])
+    u = jnp.arange(r)[:, None, None]
+    qa = jnp.arange(p_a)[None, :, None]
+    qb = jnp.arange(p_b)[None, None, :]
+    s = (qb == u * p_a + qa).astype(wp.dtype)
+    m = jnp.einsum("uaq,ij->uaiqj", s, wp)
+    return m.reshape(r * p_a * cp_a, p_b * cp_b)
+
+
+class PackedDSBlock(nn.Module):
+    """timm 'ds' block (b0_0: dw3×3/2 + BN + relu → SE → pw1×1 + BN) in
+    packed space. The depthwise conv is a fused_conv_down with a
+    diagonal-expanded kernel consuming the (raw, prologue-pending) stem
+    output; SE and the pointwise GEMM run on the packed core in XLA; the
+    pointwise simultaneously converts geometry to ``g_out`` (decoder-native).
+    Param tree identical to ``DepthwiseSeparable`` (conv_dw, bn1, se,
+    conv_pw, bn2)."""
+
+    ch: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t_in: PackedT, train: bool = False) -> PackedT:
+        g_s = t_in.geom
+        g_d = down_geom(g_s)                      # dw output geometry
+        g_out = best_geom(g_d.h, g_d.w)           # pw output geometry
+        assert g_out is not None
+        b = t_in.data.shape[0]
+        c = self.ch
+        cop_d = g_d.cp(c)
+        kdw = _KParam((3, 3, 1, c), name="conv_dw")()
+        emit = bool(train)
+
+        if self.is_initializing():
+            y = jnp.zeros((b, g_d.h + 2, g_d.wbp, g_d.lanes(c)), jnp.bfloat16)
+            mom = jnp.zeros((2, g_d.lanes(c)), jnp.float32) if emit else None
+        else:
+            w_dense = kdw[:, :, 0, :][..., None, :] * jnp.eye(c)[None, None]
+            cfg = pc.DownCfg(g_src=g_s, g_dst=g_d,
+                             l_in=g_s.lanes(t_in.c), lo=g_d.lanes(c),
+                             pro=t_in.act if t_in.pro is not None else None,
+                             has_bias=False, emit_moments=emit, need_dx=True)
+            pro_l = (None if t_in.pro is None
+                     else _pro_lanes(t_in.pro, g_s.p, g_s.cp(t_in.c)))
+            y, mom = pc.fused_conv_down(cfg, t_in.data, w_dense, pro_l, None)
+
+        pro1 = DeferredBN(c, name="bn1")(mom, b * g_d.h * g_d.w, g_d.p,
+                                         cop_d, train)
+
+        # ---- SE + pointwise on the packed core (XLA) ----
+        core = y[:, 1:-1, 1:1 + g_d.wb, :]                 # (B, h, wb, L)
+        s_l = _pro_lanes(pro1, g_d.p, cop_d)
+        a = jnp.maximum(core.astype(jnp.float32) * s_l[0] + s_l[1], 0.0)
+        pooled = a.sum((1, 2)).reshape(b, g_d.p, cop_d).sum(1)[:, :c] \
+            / (g_d.h * g_d.w)                              # (B, C)
+        red = max(8, int(c / 4 + 4) // 8 * 8)              # _make_divisible(c/4)
+        gate = _SEGate(red, c, dtype=self.dtype,
+                       name="se")(pooled[:, None, None, :])[:, 0, 0, :]
+        gate_l = jnp.tile(jnp.pad(gate, [(0, 0), (0, cop_d - c)]), (1, g_d.p))
+        ag = (a * gate_l[:, None, None, :]).astype(jnp.bfloat16)
+
+        kpw = _KParam((1, 1, c, c), name="conv_pw")()
+        r = g_out.p // g_d.p
+        m = _geom_convert_mats(g_d.p, cop_d, g_out.p, g_out.cp(c),
+                               kpw[0, 0].astype(jnp.bfloat16), c)
+        agr = ag.reshape(b, g_d.h, g_d.wb // r, r * g_d.p * cop_d)
+        out = jax.lax.dot_general(agr, m, (((3,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        mom2 = (jnp.stack([out.sum((0, 1, 2)), (out * out).sum((0, 1, 2))])
+                if emit else None)
+        pro2 = DeferredBN(c, name="bn2")(mom2, b * g_out.h * g_out.w,
+                                         g_out.p, g_out.cp(c), train)
+        out_p = jnp.pad(out.astype(jnp.bfloat16),
+                        [(0, 0), (1, 1), (1, g_out.wbp - g_out.wb - 1),
+                         (0, 0)])
+        return PackedT(out_p, pro2, c, g_out, act="linear")

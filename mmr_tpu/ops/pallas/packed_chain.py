@@ -186,7 +186,13 @@ def up_compatible(g_src: RowGeom, g_dst: RowGeom) -> bool:
         return False
     r_b = g_dst.wb // g_src.wb
     # wb_d = r_b·wb_s and w_d = 2·w_s force p_d·r_b = 2·p_s
-    return r_b in (1, 2) and g_dst.p * r_b == 2 * g_src.p
+    if not (r_b in (1, 2) and g_dst.p * r_b == 2 * g_src.p):
+        return False
+    # r_b=2 backward builds a (ths+2, 2·wbp_s, L) duplicated tile and slices
+    # [:, 1:1+wbp]; tiny block counts (e.g. wb_s=4) would silently clamp the
+    # slice and fail later with an opaque shape error — fall back to the
+    # materializing path for those geometries
+    return r_b != 2 or 2 * g_src.wbp >= g_dst.wbp + 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -344,16 +350,53 @@ def _halo_mask(i, th, wb, wbp, n_i):
             & (blocks >= 1) & (blocks <= wb))
 
 
-def _prologue(tile, pro_ref, valid):
-    """relu(tile * s + t) with per-lane (2, L) f32 prologue vectors, zeroed
+def _apply_act(v, act):
+    """Prologue activation. Every supported act maps 0 -> 0, but the affine
+    shift t makes prologue(0) nonzero anyway, so halo positions are re-zeroed
+    by the caller's validity mask regardless of act."""
+    if act is True:  # legacy boolean pro_mask entries mean relu
+        act = "relu"
+    if act == "relu":
+        return jnp.maximum(v, 0.0)
+    if act == "hswish":
+        return v * jnp.clip(v + 3.0, 0.0, 6.0) * (1.0 / 6.0)
+    assert act == "linear", act
+    return v
+
+
+def _act_grad(v, act):
+    if act is True:  # legacy boolean pro_mask entries mean relu
+        act = "relu"
+    if act == "relu":
+        return (v > 0.0).astype(jnp.float32)
+    if act == "hswish":
+        return jnp.where(v <= -3.0, 0.0,
+                         jnp.where(v >= 3.0, 1.0, (2.0 * v + 3.0) / 6.0))
+    assert act == "linear", act
+    return jnp.ones_like(v)
+
+
+def _prologue(tile, pro_ref, valid, act="relu"):
+    """act(tile * s + t) with per-lane (2, L) f32 prologue vectors, zeroed
     outside the image interior."""
     s = pro_ref[0][None, None, :]
     t = pro_ref[1][None, None, :]
-    v = jnp.maximum(tile.astype(jnp.float32) * s + t, 0.0)
+    v = _apply_act(tile.astype(jnp.float32) * s + t, act)
     return jnp.where(valid, v, 0.0).astype(jnp.bfloat16)
 
 
-def _up_fwd_contrib(tile, t_ref, pro_ref, spec, th, wb, lo, i, n_i):
+def _prologue_bwd(ga, x_int, pro_ref, act="relu"):
+    """Backward through act(x*s + t) on interior tiles: returns (dx_raw,
+    d(scale) per lane, d(shift) per lane)."""
+    xi = x_int.astype(jnp.float32)
+    s = pro_ref[0][None, None, :]
+    t = pro_ref[1][None, None, :]
+    gm = ga * _act_grad(xi * s + t, act)
+    return gm * s, jnp.sum(gm * xi, axis=(0, 1)), jnp.sum(gm, axis=(0, 1))
+
+
+def _up_fwd_contrib(tile, t_ref, pro_ref, spec, th, wb, lo, i, n_i,
+                    act="relu"):
     """Fused ×2-upsample input's contribution to the dst accumulator.
 
     ``tile`` is the SOURCE-resolution halo'd tile (th/2+2, wbp_s, L_s);
@@ -363,7 +406,7 @@ def _up_fwd_contrib(tile, t_ref, pro_ref, spec, th, wb, lo, i, n_i):
     ths = th // 2
     if pro_ref is not None:
         valid = _halo_mask(i, ths, wb_s, wbp_s, n_i)
-        tile = _prologue(tile, pro_ref, valid)
+        tile = _prologue(tile, pro_ref, valid, act)
     parts = {}
     for mi, (ev, eh, sv, dlt) in enumerate(mats):
         sl = tile[ev + sv:ev + sv + ths, dlt + 1:dlt + 1 + wb_s, :]
@@ -455,7 +498,7 @@ def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
         tile = xts[j][k % 2]
         if up_spec[j] is None:
             if j in pros:
-                tile = _prologue(tile, pros[j], valid)
+                tile = _prologue(tile, pros[j], valid, pro_mask[j])
             for dy in range(3):
                 for dwb in range(3):
                     acc += jax.lax.dot_general(
@@ -464,7 +507,7 @@ def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
                         preferred_element_type=jnp.float32)
             continue
         acc += _up_fwd_contrib(tile, ts[j], pros.get(j), up_spec[j],
-                               th, wb, lo, i, n_i)
+                               th, wb, lo, i, n_i, act=pro_mask[j] or "relu")
     if has_bias:
         acc = acc + bias[0][None, None, :]
     if emit_moments:
@@ -497,7 +540,7 @@ def _wait_copy(stage_ref, sem):
 
 
 def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
-                  dts_j, dups_j, pros, dpros, i, n_i):
+                  dts_j, dups_j, pros, dpros, i, n_i, act="relu"):
     """Backward for one fused-upsample input, ROW-FOLDED: every matmul runs
     at SOURCE rows (M = th/2·wb), exploiting that nearest-up row pairs read
     the same src row. Accumulates dT (+dpro) and returns the (th/2, wb_s,
@@ -520,7 +563,7 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
 
     if j in pros:
         valid_s = _halo_mask(i, ths, wb_s, wbp_s, n_i)
-        a_tile = _prologue(x_tile, pros[j], valid_s)
+        a_tile = _prologue(x_tile, pros[j], valid_s, act)
     else:
         a_tile = x_tile
 
@@ -592,14 +635,10 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
     ga = g
 
     if j in pros:
-        xi = x_tile[1:1 + ths, 1:1 + wb_s, :].astype(jnp.float32)
-        s = pros[j][0][None, None, :]
-        t = pros[j][1][None, None, :]
-        mask = (xi * s + t > 0.0).astype(jnp.float32)
-        gm = ga * mask
-        dpros[j][0, :] += jnp.sum(gm * xi, axis=(0, 1))
-        dpros[j][1, :] += jnp.sum(gm, axis=(0, 1))
-        ga = gm * s
+        ga, dp0, dp1 = _prologue_bwd(
+            ga, x_tile[1:1 + ths, 1:1 + wb_s, :], pros[j], act)
+        dpros[j][0, :] += dp0
+        dpros[j][1, :] += dp1
     return ga
 
 
@@ -719,12 +758,13 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
         if up_spec[j] is not None:
             ga = _up_bwd_input(j, up_spec[j], th, wb, wbp, lo, dy_bf,
                                dy_flat, x_tile, tts[j], dts[j],
-                               dups.get(j), pros, dpros, i, n_i)
+                               dups.get(j), pros, dpros, i, n_i,
+                               act=pro_mask[j] or "relu")
             wb_j, wbp_j = up_spec[j][1], up_spec[j][2]
         else:
             wb_j, wbp_j = wb, wbp
             if j in pros:
-                a_tile = _prologue(x_tile, pros[j], valid)
+                a_tile = _prologue(x_tile, pros[j], valid, pro_mask[j])
             else:
                 a_tile = x_tile
             # dW: dT[dy,dwb] += a_view^T @ dy_interior (operands flattened to
@@ -746,14 +786,10 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
                         tts[j][dyy, dwb], (((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
             if j in pros:
-                xi = x_tile[1:1 + th, 1:1 + wb, :].astype(jnp.float32)
-                s = pros[j][0][None, None, :]
-                t = pros[j][1][None, None, :]
-                mask = (xi * s + t > 0.0).astype(jnp.float32)
-                gm = ga * mask
-                dpros[j][0, :] += jnp.sum(gm * xi, axis=(0, 1))
-                dpros[j][1, :] += jnp.sum(gm, axis=(0, 1))
-                ga = gm * s
+                ga, dp0, dp1 = _prologue_bwd(
+                    ga, x_tile[1:1 + th, 1:1 + wb, :], pros[j], pro_mask[j])
+                dpros[j][0, :] += dp0
+                dpros[j][1, :] += dp1
 
         @pl.when(k >= 2)
         def _():
@@ -783,7 +819,9 @@ class FusedCfg:
     geom: RowGeom
     l_list: tuple          # lanes per input (src lanes for fused-up inputs)
     lo: int                # output lanes
-    pro_mask: tuple        # bool per input: has (scale, shift, relu) prologue
+    # per input: None (no prologue) or the prologue act code "relu" /
+    # "hswish" / "linear" — the input carries a pending (scale, shift, act)
+    pro_mask: tuple
     has_bias: bool
     emit_moments: bool
     # per input: None, or (p_src, wb_src, wbp_src, r_b, mats) — the input is
@@ -1162,6 +1200,439 @@ def toeplitz_down(w3, g_src: RowGeom, g_dst: RowGeom):
     return t.reshape(3, 2, p_s * cp_s, p_d * cop).astype(jnp.bfloat16)
 
 
+def fold_down_dw(d, w_shape, g_src: RowGeom, g_dst: RowGeom):
+    """Adjoint of :func:`toeplitz_down`: (3, 2, L_src, L_dst) tap grads →
+    (3, 3, Cin, Cout) kernel grads."""
+    _, _, cin, cout = w_shape
+    cp_s, cop = g_src.cp(cin), g_dst.cp(cout)
+    m = jnp.asarray(_down_scatter_np(g_src.p, g_dst.p))
+    dd = d.reshape(3, 2, g_src.p, cp_s, g_dst.p, cop)[:, :, :, :cin, :, :cout]
+    return jnp.einsum("xdsq,adsiqo->axio", m, dd)
+
+
+def _halo_mask_at(row0, nrows, wb, wbp, hmax):
+    """Validity mask (nrows, wbp, 1) for halo'd rows starting at global halo
+    row ``row0`` of an image with ``hmax`` interior rows."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, wbp, 1), 0) + row0
+    blocks = jax.lax.broadcasted_iota(jnp.int32, (nrows, wbp, 1), 1)
+    return ((rows >= 1) & (rows <= hmax) & (blocks >= 1) & (blocks <= wb))
+
+
+@dataclasses.dataclass(frozen=True)
+class DownCfg:
+    """Static config of one fused stride-2 packed conv (hashable).
+
+    Geometry contract (:func:`toeplitz_down`): ``p_src == 2·p_dst`` and equal
+    block counts, so column taps are plain δ ∈ {-1, 0} block shifts and row
+    taps are the three parity views ``x[2·r_d + a]`` of the halo'd source
+    tile. Round-3 packed encoder front-end (docs/PERF.md handoff); reference
+    semantics: timm mobilenetv3 stride-2 convs (stem `conv_stem`, depthwise
+    `conv_dw`), consumed by smp's TimmUniversalEncoder at
+    ``Main_MMR_SegModel.py:589``."""
+
+    g_src: RowGeom
+    g_dst: RowGeom
+    l_in: int            # source lanes
+    lo: int              # destination lanes
+    pro: str | None      # act code of the input's pending (scale,shift,act)
+    has_bias: bool
+    emit_moments: bool
+    need_dx: bool = True
+
+    def __post_init__(self):
+        assert self.g_src.p == 2 * self.g_dst.p, (self.g_src, self.g_dst)
+        assert self.g_src.wb == self.g_dst.wb
+        assert self.g_src.h == 2 * self.g_dst.h
+        assert self.g_src.w == 2 * self.g_dst.w
+
+    def vmem(self, th: int, backward: bool) -> int:
+        ws, wd = self.g_src.wbp, self.g_dst.wbp
+        tiles = 2 * (2 * th + 2) * ws * self.l_in * 2      # src double-buffer
+        taps = 6 * self.l_in * self.lo * 2
+        if not backward:
+            act = (2 * th + 2) * ws * self.l_in * 4        # prologue f32 temp
+            acc = th * self.g_dst.wb * self.lo * 4
+            stage = 2 * th * wd * self.lo * 2 + wd * self.lo * 2
+            return tiles + taps + act + acc + stage
+        tiles += 2 * (th + 2) * wd * self.lo * 2 * (1 + int(self.emit_moments))
+        dts = 6 * self.l_in * self.lo * 4
+        act = (2 * th + 2) * ws * self.l_in * 4
+        acc = 2 * th * self.g_src.wb * self.l_in * 4 \
+            + (th + 2) * wd * self.lo * 4
+        stage = 2 * 2 * th * ws * self.l_in * 2 + ws * self.l_in * 2
+        return tiles + 2 * taps + dts + act + acc + stage
+
+    def th(self, backward: bool) -> int:
+        t = choose_th(self.g_dst.h, lambda c: self.vmem(c, backward))
+        assert t, f"no feasible row tile for {self}"
+        return t
+
+
+def _down_fwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
+    g_s, g_d = cfg.g_src, cfg.g_dst
+    wb, wbp_s, wbp_d = g_d.wb, g_s.wbp, g_d.wbp
+    r = list(refs)
+    x_hbm, t_ref = r.pop(0), r.pop(0)
+    pro_ref = r.pop(0) if cfg.pro else None
+    bias_ref = r.pop(0) if cfg.has_bias else None
+    y_hbm = r.pop(0)
+    mom = r.pop(0) if cfg.emit_moments else None
+    xt, ystage, zstage, insem, outsem, halosem = r
+
+    b, i = pl.program_id(0), pl.program_id(1)
+    k = b * n_i + i
+    total = n_b * n_i
+
+    def in_dma(slot, kk):
+        bb, ii = kk // n_i, kk % n_i
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * 2 * th, 2 * th + 2)], xt.at[slot],
+            insem.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        in_dma(0, 0).start()
+        if cfg.emit_moments:
+            mom[:] = jnp.zeros_like(mom)
+        zstage[:] = jnp.zeros_like(zstage)
+
+    @pl.when(k + 1 < total)
+    def _():
+        in_dma((k + 1) % 2, k + 1).start()
+
+    @pl.when(i == 0)
+    def _():
+        top = pltpu.make_async_copy(zstage, y_hbm.at[b, pl.ds(0, 1)],
+                                    halosem.at[0])
+        bot = pltpu.make_async_copy(
+            zstage, y_hbm.at[b, pl.ds(n_i * th + 1, 1)], halosem.at[1])
+        top.start()
+        bot.start()
+        top.wait()
+        bot.wait()
+
+    in_dma(k % 2, k).wait()
+    tile = xt[k % 2]
+    if cfg.pro:
+        valid_s = _halo_mask_at(2 * i * th, 2 * th + 2, wb, wbp_s,
+                                2 * n_i * th)
+        tile = _prologue(tile, pro_ref, valid_s, cfg.pro)
+    acc = jnp.zeros((th, wb, cfg.lo), jnp.float32)
+    for a in range(3):
+        # row parity view: dst row r_d reads src halo'd row 2·r_d + a
+        va = tile[a:a + 2 * th].reshape(th, 2, wbp_s, cfg.l_in)[:, 0]
+        for d in (-1, 0):
+            acc += jax.lax.dot_general(
+                va[:, d + 1:d + 1 + wb, :], t_ref[a, d + 1],
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if cfg.has_bias:
+        acc = acc + bias_ref[0][None, None, :]
+    if cfg.emit_moments:
+        mom[0, :] += jnp.sum(acc, axis=(0, 1))
+        mom[1, :] += jnp.sum(acc * acc, axis=(0, 1))
+
+    slot = k % 2
+
+    @pl.when(k >= 2)
+    def _():
+        _wait_copy(ystage.at[slot], outsem.at[slot])
+
+    ystage[slot] = jnp.pad(
+        acc.astype(jnp.bfloat16), [(0, 0), (1, wbp_d - wb - 1), (0, 0)])
+    pltpu.make_async_copy(
+        ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
+        outsem.at[slot]).start()
+
+    @pl.when(k + 1 == total)
+    def _():
+        _wait_copy(ystage.at[slot], outsem.at[slot])
+        if total > 1:
+            _wait_copy(ystage.at[1 - slot], outsem.at[1 - slot])
+
+
+def _down_bwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
+    """Backward of the stride-2 conv. dW contracts the three activated src
+    parity views with dy (6 products); dx uses the TRANSPOSED taps with the
+    stride-2 scatter inverted: even src rows receive only the center row tap
+    from dy[t], odd src rows receive taps 0/2 from dy[t+1]/dy[t] — two
+    row-interleaved accumulators merged by an untiled stack+reshape."""
+    g_s, g_d = cfg.g_src, cfg.g_dst
+    wb, wbp_s, wbp_d = g_d.wb, g_s.wbp, g_d.wbp
+    r = list(refs)
+    dy_hbm = r.pop(0)
+    y_hbm = r.pop(0) if cfg.emit_moments else None
+    x_hbm, tt_ref = r.pop(0), r.pop(0)
+    pro_ref = r.pop(0) if cfg.pro else None
+    dm = r.pop(0) if cfg.emit_moments else None
+    dx_hbm = r.pop(0) if cfg.need_dx else None
+    dt_ref = r.pop(0)
+    dpro_ref = r.pop(0) if cfg.pro else None
+    dbias_ref = r.pop(0) if cfg.has_bias else None
+    dyt = r.pop(0)
+    yt = r.pop(0) if cfg.emit_moments else None
+    xt = r.pop(0)
+    dxstage = r.pop(0) if cfg.need_dx else None
+    zstage = r.pop(0) if cfg.need_dx else None
+    insem, outsem, halosem = r
+
+    b, i = pl.program_id(0), pl.program_id(1)
+    k = b * n_i + i
+    total = n_b * n_i
+
+    def dma(src, dst, sem_i, slot, kk, rows, stride):
+        bb, ii = kk // n_i, kk % n_i
+        return pltpu.make_async_copy(
+            src.at[bb, pl.ds(ii * stride, rows)], dst.at[slot],
+            insem.at[sem_i, slot])
+
+    def start_all(slot, kk):
+        dma(dy_hbm, dyt, 0, slot, kk, th + 2, th).start()
+        if cfg.emit_moments:
+            dma(y_hbm, yt, 1, slot, kk, th + 2, th).start()
+        dma(x_hbm, xt, 1 + int(cfg.emit_moments), slot, kk, 2 * th + 2,
+            2 * th).start()
+
+    @pl.when(k == 0)
+    def _():
+        start_all(0, 0)
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+        if cfg.pro:
+            dpro_ref[:] = jnp.zeros_like(dpro_ref)
+        if cfg.has_bias:
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        if cfg.need_dx:
+            zstage[:] = jnp.zeros_like(zstage)
+
+    @pl.when(k + 1 < total)
+    def _():
+        start_all((k + 1) % 2, k + 1)
+
+    if cfg.need_dx:
+        @pl.when(i == 0)
+        def _():
+            top = pltpu.make_async_copy(zstage, dx_hbm.at[b, pl.ds(0, 1)],
+                                        halosem.at[0])
+            bot = pltpu.make_async_copy(
+                zstage, dx_hbm.at[b, pl.ds(2 * n_i * th + 1, 1)],
+                halosem.at[1])
+            top.start()
+            bot.start()
+            top.wait()
+            bot.wait()
+
+    slot = k % 2
+    valid_d = _halo_mask_at(i * th, th + 2, wb, wbp_d, n_i * th)
+    dma(dy_hbm, dyt, 0, slot, k, th + 2, th).wait()
+    dy_tile = dyt[slot].astype(jnp.float32)
+    if cfg.emit_moments:
+        dma(y_hbm, yt, 1, slot, k, th + 2, th).wait()
+        corrected = dy_tile + dm[0][None, None, :] \
+            + 2.0 * yt[slot].astype(jnp.float32) * dm[1][None, None, :]
+        dy_tile = jnp.where(valid_d, corrected, 0.0)
+    dy_bf = dy_tile.astype(jnp.bfloat16)
+    dy_int = dy_tile[1:1 + th, 1:1 + wb, :]
+    dy_flat = dy_int.astype(jnp.bfloat16).reshape(th * wb, cfg.lo)
+    if cfg.has_bias:
+        dbias_ref[0, :] += jnp.sum(dy_int, axis=(0, 1))
+
+    dma(x_hbm, xt, 1 + int(cfg.emit_moments), slot, k, 2 * th + 2,
+        2 * th).wait()
+    x_tile = xt[slot]
+    if cfg.pro:
+        valid_s = _halo_mask_at(2 * i * th, 2 * th + 2, wb, wbp_s,
+                                2 * n_i * th)
+        a_tile = _prologue(x_tile, pro_ref, valid_s, cfg.pro)
+    else:
+        a_tile = x_tile
+
+    for a in range(3):
+        va = a_tile[a:a + 2 * th].reshape(th, 2, wbp_s, cfg.l_in)[:, 0]
+        for d in (-1, 0):
+            a2 = va[:, d + 1:d + 1 + wb, :].reshape(th * wb, cfg.l_in)
+            dt_ref[a, d + 1] += jax.lax.dot_general(
+                a2, dy_flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    if cfg.need_dx:
+        ge = jnp.zeros((th, wb, cfg.l_in), jnp.float32)
+        go = jnp.zeros((th, wb, cfg.l_in), jnp.float32)
+        for d in (-1, 0):
+            dye = dy_bf[1:1 + th, 1 - d:1 - d + wb, :]    # dy interior row t
+            dyo = dy_bf[2:2 + th, 1 - d:1 - d + wb, :]    # dy interior t+1
+            ge += jax.lax.dot_general(
+                dye, tt_ref[1, d + 1], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            go += jax.lax.dot_general(
+                dyo, tt_ref[0, d + 1], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            go += jax.lax.dot_general(
+                dye, tt_ref[2, d + 1], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        ga = jnp.stack([ge, go], axis=1).reshape(2 * th, wb, cfg.l_in)
+        if cfg.pro:
+            ga, dp0, dp1 = _prologue_bwd(
+                ga, x_tile[1:1 + 2 * th, 1:1 + wb, :], pro_ref, cfg.pro)
+            dpro_ref[0, :] += dp0
+            dpro_ref[1, :] += dp1
+
+        @pl.when(k >= 2)
+        def _():
+            _wait_copy(dxstage.at[slot], outsem.at[slot])
+
+        dxstage[slot] = jnp.pad(
+            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp_s - wb - 1), (0, 0)])
+        pltpu.make_async_copy(
+            dxstage.at[slot], dx_hbm.at[b, pl.ds(2 * i * th + 1, 2 * th)],
+            outsem.at[slot]).start()
+
+        @pl.when(k + 1 == total)
+        def _():
+            _wait_copy(dxstage.at[slot], outsem.at[slot])
+            if total > 1:
+                _wait_copy(dxstage.at[1 - slot], outsem.at[1 - slot])
+
+
+def _down_fwd_call(cfg: DownCfg, x, w3, pro, bias):
+    g_d = cfg.g_dst
+    th = cfg.th(backward=False)
+    n_i = g_d.h // th
+    n_b = x.shape[0]
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    taps = toeplitz_down(w3, cfg.g_src, g_d)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), const((3, 2, cfg.l_in, cfg.lo))]
+    args = [x, taps]
+    if cfg.pro:
+        in_specs.append(const((2, cfg.l_in)))
+        args.append(pro.astype(jnp.float32))
+    if cfg.has_bias:
+        in_specs.append(const((1, cfg.lo)))
+        args.append(bias.astype(jnp.float32))
+    out_shape = [jax.ShapeDtypeStruct((n_b, g_d.h + 2, g_d.wbp, cfg.lo),
+                                      jnp.bfloat16)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if cfg.emit_moments:
+        out_shape.append(jax.ShapeDtypeStruct((2, cfg.lo), jnp.float32))
+        out_specs.append(const((2, cfg.lo)))
+    scratch = [
+        pltpu.VMEM((2, 2 * th + 2, cfg.g_src.wbp, cfg.l_in), jnp.bfloat16),
+        pltpu.VMEM((2, th, g_d.wbp, cfg.lo), jnp.bfloat16),
+        pltpu.VMEM((1, g_d.wbp, cfg.lo), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_down_fwd_kernel, th=th, n_i=n_i, cfg=cfg, n_b=n_b),
+        grid=(n_b, n_i),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(*args)
+    if cfg.emit_moments:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def _down_bwd_call(cfg: DownCfg, x, w3, pro, y, dy, dmom):
+    g_s, g_d = cfg.g_src, cfg.g_dst
+    th = cfg.th(backward=True)
+    n_i = g_d.h // th
+    n_b = x.shape[0]
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    taps = toeplitz_down(w3, g_s, g_d)
+    tt = jnp.swapaxes(taps, 2, 3)                  # (3, 2, Lo, L_in)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    args = [dy]
+    if cfg.emit_moments:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(y)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 const((3, 2, cfg.lo, cfg.l_in))]
+    args += [x, tt]
+    if cfg.pro:
+        in_specs.append(const((2, cfg.l_in)))
+        args.append(pro.astype(jnp.float32))
+    if cfg.emit_moments:
+        in_specs.append(const((2, cfg.lo)))
+        args.append(dmom.astype(jnp.float32))
+    out_shape, out_specs = [], []
+    if cfg.need_dx:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_b, g_s.h + 2, g_s.wbp, cfg.l_in), jnp.bfloat16))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    out_shape.append(jax.ShapeDtypeStruct((3, 2, cfg.l_in, cfg.lo),
+                                          jnp.float32))
+    out_specs.append(const((3, 2, cfg.l_in, cfg.lo)))
+    if cfg.pro:
+        out_shape.append(jax.ShapeDtypeStruct((2, cfg.l_in), jnp.float32))
+        out_specs.append(const((2, cfg.l_in)))
+    if cfg.has_bias:
+        out_shape.append(jax.ShapeDtypeStruct((1, cfg.lo), jnp.float32))
+        out_specs.append(const((1, cfg.lo)))
+    scratch = [pltpu.VMEM((2, th + 2, g_d.wbp, cfg.lo), jnp.bfloat16)]
+    if cfg.emit_moments:
+        scratch.append(pltpu.VMEM((2, th + 2, g_d.wbp, cfg.lo), jnp.bfloat16))
+    scratch.append(pltpu.VMEM((2, 2 * th + 2, g_s.wbp, cfg.l_in),
+                              jnp.bfloat16))
+    if cfg.need_dx:
+        scratch.append(pltpu.VMEM((2, 2 * th, g_s.wbp, cfg.l_in),
+                                  jnp.bfloat16))
+        scratch.append(pltpu.VMEM((1, g_s.wbp, cfg.l_in), jnp.bfloat16))
+    scratch += [
+        pltpu.SemaphoreType.DMA((2 + int(cfg.emit_moments), 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    outs = list(pl.pallas_call(
+        functools.partial(_down_bwd_kernel, th=th, n_i=n_i, cfg=cfg, n_b=n_b),
+        grid=(n_b, n_i),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(*args))
+    dx = outs.pop(0) if cfg.need_dx else None
+    dt = outs.pop(0)
+    dpro = outs.pop(0) if cfg.pro else None
+    dbias = outs.pop(0) if cfg.has_bias else None
+    return dx, dt, dpro, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_conv_down(cfg: DownCfg, x, w3, pro, bias):
+    """Single-input fused stride-2 packed conv: ``x`` packed-halo at
+    ``cfg.g_src``; ``w3`` the RAW (3, 3, Cin, Cout) kernel (taps built/folded
+    internally — depthwise convs pass a diagonal-expanded kernel); ``pro`` a
+    per-lane (2, L_in) pending prologue or None; ``bias`` (1, Lo) or None.
+    Returns ``(y_packed_halo_at_g_dst, moments_or_None)``."""
+    return _down_fwd_call(cfg, x, w3, pro, bias)
+
+
+def _fused_conv_down_fwd(cfg, x, w3, pro, bias):
+    y, mom = _down_fwd_call(cfg, x, w3, pro, bias)
+    return (y, mom), (x, w3, pro, y)
+
+
+def _fused_conv_down_bwd(cfg, res, cot):
+    x, w3, pro, y = res
+    dy, dmom = cot
+    if cfg.emit_moments and dmom is None:
+        dmom = jnp.zeros((2, cfg.lo), jnp.float32)
+    dx, dt, dpro, dbias = _down_bwd_call(cfg, x, w3, pro, y, dy, dmom)
+    dw3 = fold_down_dw(dt, w3.shape, cfg.g_src, cfg.g_dst)
+    if dx is None:
+        dx = jnp.zeros_like(x)  # non-diff input (e.g. the image); XLA DCEs
+    return dx, dw3, dpro, dbias
+
+
+fused_conv_down.defvjp(_fused_conv_down_fwd, _fused_conv_down_bwd)
+
+
 def conv3x3_s2_packed_ref(xp, taps, g_src: RowGeom, g_dst: RowGeom):
     """jnp reference consumer of :func:`toeplitz_down` (whole image, no
     tiling) — the contraction a round-3 kernel will perform per row tile.
@@ -1250,17 +1721,51 @@ def _lane_class_masks(shape, cp: int, nc: int):
     return cls.astype(jnp.float32), cls < nc
 
 
-def _head_softmax(acc, labs, sgrp, cp, nc, valid=None):
+def _group_max(x, cp):
+    """Per-pixel(-group) max over the cp class lanes, broadcast back to every
+    lane of its group, via a max butterfly of in-group cyclic lane shifts
+    (ceil(log2(cp)) permutation matmuls). MXU rounding (f32 dot_general
+    ≈ bf16) only perturbs the shifted copies by ~1 ulp — irrelevant for
+    softmax stabilization, which needs any value within ~80 of the true max."""
+    l = x.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    same = row // cp == col // cp
+    m = x
+    k = 1
+    while k < cp:
+        pm = jnp.where(jnp.logical_and(same, row % cp == (col % cp + k) % cp),
+                       1.0, 0.0)
+        shifted = jax.lax.dot_general(
+            m, pm, (((m.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.maximum(m, shifted)
+        k *= 2
+    return m
+
+
+def _head_softmax(acc, labs, sgrp, cp, nc, valid=None, m=None):
     """Shared fwd/bwd lane-space softmax pieces on a logits tile.
 
-    Returns (z, sums, probs, onehot, m). Invalid lanes (class pad) and — when
-    ``valid`` is given — out-of-image positions are excluded."""
+    Stabilized with a PER-PIXEL(-group) max ``m`` — a tile-global max would
+    silently underflow every exp() of a pixel whose own logits sit far below
+    the tile max (large early-training spread), zeroing its Dice/CE stats.
+    The reference (MONAI softmax CE) is per-pixel stabilized. ``m`` may be
+    passed in (the fwd kernel reuses its argmax scan's running max);
+    otherwise it is computed with :func:`_group_max`.
+
+    Returns (z, sums, probs, onehot, m, accm). Invalid lanes (class pad) and
+    — when ``valid`` is given — out-of-image positions are excluded."""
     clsv, vmask = _lane_class_masks(acc.shape, cp, nc)
     if valid is not None:
         vmask = jnp.logical_and(vmask, valid)
     accm = jnp.where(vmask, acc, -1e30)
-    m = jnp.max(accm)
-    z = jnp.where(vmask, jnp.exp(acc - m), 0.0)
+    if m is None:
+        m = _group_max(accm, cp)
+    # clamp the exponent at 0: m is within rounding of the true max for valid
+    # lanes, and fully-invalid groups (halo rows) have m = -1e30, where an
+    # unclamped exp(acc - m) would manufacture infs even under the vmask
+    z = jnp.where(vmask, jnp.exp(jnp.minimum(acc - m, 0.0)), 0.0)
     sums = jax.lax.dot_general(z, sgrp[...], (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     probs = z / jnp.maximum(sums, 1e-30)
@@ -1317,23 +1822,18 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
                 (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc = acc + bias_ref[0][None, None, :]
 
-    # ---- loss statistics on the interior ----
-    dma(lab_hbm, lt, 1, k % 2, k).wait()
-    labs = lt[k % 2][1:1 + th, 1:1 + wb, :].astype(jnp.float32)
-    z, sums, probs, onehot, m, accm = _head_softmax(acc, labs, sgrp, cp, nc)
-    lse = jnp.log(jnp.maximum(sums, 1e-30)) + m
-    ce = onehot * (lse - acc)
-    stats_ref[0, 0, :] += jnp.sum(probs, axis=(0, 1))
-    stats_ref[0, 1, :] += jnp.sum(onehot, axis=(0, 1))
-    stats_ref[0, 2, :] += jnp.sum(probs * onehot, axis=(0, 1))
-    stats_ref[0, 3, :] += jnp.sum(ce, axis=(0, 1))
-
-    # ---- argmax → confusion partials (metrics only) ----
+    # ---- argmax scan (doubles as the softmax stabilizer) ----
     # track the best class INDEX during the scan: the per-class broadcast
     # matmul (E_c) rounds on the MXU, so an equality test against the
     # broadcast max silently drops pixels on hardware — comparing the
     # broadcasts against each other is self-consistent and gives exact
-    # first-max argmax semantics
+    # first-max argmax semantics. The running max ``bv`` ends as the
+    # per-pixel(-group) max broadcast over each group's lanes — exactly the
+    # per-pixel stabilizer _head_softmax needs, for free.
+    dma(lab_hbm, lt, 1, k % 2, k).wait()
+    labs = lt[k % 2][1:1 + th, 1:1 + wb, :].astype(jnp.float32)
+    clsv, vmask = _lane_class_masks((th, wb, lo), cp, nc)
+    accm = jnp.where(vmask, acc, -1e30)
     bv = jnp.full((th, wb, lo), -3e30, jnp.float32)
     bidx = jnp.zeros((th, wb, lo), jnp.float32)
     for c in range(nc):
@@ -1342,7 +1842,17 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
         take = vc > bv
         bv = jnp.where(take, vc, bv)
         bidx = jnp.where(take, float(c), bidx)
-    clsv, vmask = _lane_class_masks((th, wb, lo), cp, nc)
+
+    # ---- loss statistics on the interior ----
+    z, sums, probs, onehot, m, _ = _head_softmax(acc, labs, sgrp, cp, nc,
+                                                 m=bv)
+    lse = jnp.log(jnp.maximum(sums, 1e-30)) + m
+    ce = onehot * (lse - acc)
+    stats_ref[0, 0, :] += jnp.sum(probs, axis=(0, 1))
+    stats_ref[0, 1, :] += jnp.sum(onehot, axis=(0, 1))
+    stats_ref[0, 2, :] += jnp.sum(probs * onehot, axis=(0, 1))
+    stats_ref[0, 3, :] += jnp.sum(ce, axis=(0, 1))
+
     pred_oh = jnp.where(jnp.logical_and(bidx == clsv, vmask), 1.0, 0.0)
     conf_ref[:, :] += jax.lax.dot_general(
         pred_oh.reshape(th * wb, lo), onehot.reshape(th * wb, lo),
@@ -1448,14 +1958,9 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
             ga += jax.lax.dot_general(
                 dy_bf[dyy:dyy + th, dwb:dwb + wb, :], tts_ref[dyy, dwb],
                 (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    xi = x_tile[1:1 + th, 1:1 + wb, :].astype(jnp.float32)
-    s = pro_ref[0][None, None, :]
-    t = pro_ref[1][None, None, :]
-    mask = (xi * s + t > 0.0).astype(jnp.float32)
-    gm = ga * mask
-    dpro_ref[0, :] += jnp.sum(gm * xi, axis=(0, 1))
-    dpro_ref[1, :] += jnp.sum(gm, axis=(0, 1))
-    ga = gm * s
+    ga, dp0, dp1 = _prologue_bwd(ga, x_tile[1:1 + th, 1:1 + wb, :], pro_ref)
+    dpro_ref[0, :] += dp0
+    dpro_ref[1, :] += dp1
 
     @pl.when(k >= 2)
     def _():

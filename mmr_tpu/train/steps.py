@@ -24,6 +24,7 @@ recompile. Augmentation happens inside the step (same program) when an
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -88,12 +89,18 @@ def make_train_step(
             from mmr_tpu.ops.pallas.packed_chain import assemble_dice_ce
             loss, conf_c = assemble_dice_ce(
                 res["spec"], res["stats"], res["conf"], res["n_pixels"])
-            tp = jnp.diagonal(conf_c)
-            fp = conf_c.sum(axis=1) - tp
-            fn = conf_c.sum(axis=0) - tp
-            tn = conf_c.sum() - tp - fp - fn
-            iou = iou_score(tp[None], fp[None], fn[None], tn[None],
-                            reduction="macro")
+            if compute_iou:
+                from mmr_tpu.core.mesh import psum_if_sharded
+
+                conf_c = psum_if_sharded(conf_c)  # global confusion under DP
+                tp = jnp.diagonal(conf_c)
+                fp = conf_c.sum(axis=1) - tp
+                fn = conf_c.sum(axis=0) - tp
+                tn = conf_c.sum() - tp - fp - fn
+                iou = iou_score(tp[None], fp[None], fn[None], tn[None],
+                                reduction="macro")
+            else:  # honor the flag's contract in the fused branch too
+                iou = jnp.float32(0)
             return loss, (new_stats, None, iou)
         loss = loss_fn(res, masks)
         iou = (_batch_iou(res, masks, num_classes) if compute_iou
@@ -102,7 +109,10 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_and_updates, has_aux=True)
 
-    def step(state: TrainState, images, masks, lr, rng):
+    def step(state: TrainState, images, masks, lr, rng, in_shard_map=False):
+        if in_shard_map:
+            # independent per-shard randomness (augment draws, dropout)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         rngs = jax.random.split(rng, 2 * n_accum).reshape(n_accum, 2)
 
         def accum_body(carry, xs):
@@ -129,12 +139,18 @@ def make_train_step(
             (images, masks, rngs))
 
         grads = jax.tree_util.tree_map(lambda g: g / n_accum, grad_sum)
+        if in_shard_map:
+            # DP gradient all-reduce (explicit here; GSPMD inserts it
+            # implicitly on the unpacked path)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
         new_params, new_opt_state = optimizer.apply_updates(
             state.params, state.opt_state, grads, lr)
         new_state = state.replace(
             params=new_params, batch_stats=new_stats,
             opt_state=new_opt_state, step=state.step + 1)
         metrics = {"loss": loss_sum / n_accum, "iou": iou_sum / n_accum}
+        if in_shard_map:
+            metrics = jax.lax.pmean(metrics, DATA_AXIS)
         return new_state, metrics
 
     if mesh is None or mesh.devices.size == 1:
@@ -143,6 +159,21 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     shard_micro = NamedSharding(mesh, P(None, DATA_AXIS))  # (n_accum, B, ...)
+    if getattr(model, "packed", False):
+        # Packed models: GSPMD cannot partition the Pallas calls — run the
+        # whole step under shard_map (each device executes the kernels on its
+        # local batch shard; grads/metrics pmean'd, BN moments psum'd inside
+        # the modules via core.mesh.all_reduce_moments → sync-BN identical to
+        # the GSPMD path's global statistics).
+        from jax.experimental.shard_map import shard_map
+
+        body = functools.partial(step, in_shard_map=True)
+        sm = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False)
+        return jax.jit(sm, donate_argnums=(0,))
     return jax.jit(
         step,
         donate_argnums=(0,),
@@ -162,7 +193,7 @@ def make_eval_step(
     """Returns ``eval_step(state, images, masks) -> metrics`` (loss, macro IoU,
     per-class tp/fp/fn for streaming aggregation)."""
 
-    def step(state: TrainState, images, masks):
+    def step(state: TrainState, images, masks, in_shard_map=False):
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         if preprocess is not None:
@@ -176,12 +207,33 @@ def make_eval_step(
             "iou": iou_score(tp, fp, fn, tn, reduction="macro"),
             "tp": tp.sum(0), "fp": fp.sum(0), "fn": fn.sum(0),
         }
+        if in_shard_map:
+            metrics = {
+                "loss": jax.lax.pmean(metrics["loss"], DATA_AXIS),
+                "iou": jax.lax.pmean(metrics["iou"], DATA_AXIS),
+                "tp": jax.lax.psum(metrics["tp"], DATA_AXIS),
+                "fp": jax.lax.psum(metrics["fp"], DATA_AXIS),
+                "fn": jax.lax.psum(metrics["fn"], DATA_AXIS),
+            }
         if return_logits:
             metrics["logits"] = logits
         return metrics
 
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(step)
+
+    if getattr(model, "packed", False):
+        # shard_map for the same reason as the train step (Pallas calls)
+        from jax.experimental.shard_map import shard_map
+
+        out_specs = {"loss": P(), "iou": P(), "tp": P(), "fp": P(),
+                     "fn": P()}
+        if return_logits:
+            out_specs["logits"] = P(DATA_AXIS)
+        sm = shard_map(functools.partial(step, in_shard_map=True), mesh=mesh,
+                       in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                       out_specs=out_specs, check_rep=False)
+        return jax.jit(sm)
 
     repl = NamedSharding(mesh, P())
     shard_b = NamedSharding(mesh, P(DATA_AXIS))

@@ -239,6 +239,125 @@ class TestPackedUnetPP:
                                    atol=0.05, rtol=0.1)
 
 
+class TestPackedFrontend:
+    """packed_frontend (mbv3 stem + b0_0 as fused stride-2 kernels, features
+    delivered as PackedT) == the XLA encoder with the same params; identical
+    param/batch-stats trees (checkpoint interchange)."""
+
+    def _models(self, hw=(256, 256)):
+        from mmr_tpu.models.decoders import UnetPlusPlusModel
+
+        kw = dict(num_classes=5, encoder_name="tu-mobilenetv3_small_100")
+        return (UnetPlusPlusModel(**kw, packed=False),
+                UnetPlusPlusModel(**kw, packed=True, packed_frontend=True))
+
+    def test_param_tree_identical(self):
+        std, pk = self._models()
+        x = jnp.zeros((1, 128, 256, 3), jnp.float32)
+        v_std = std.init(jax.random.key(0), x, train=False)
+        v_pk = pk.init(jax.random.key(0), x, train=False)
+        shapes = lambda t: jax.tree_util.tree_map(lambda a: a.shape, t)
+        assert shapes(v_std["params"]) == shapes(v_pk["params"])
+        assert shapes(v_std["batch_stats"]) == shapes(v_pk["batch_stats"])
+
+    def test_equivalence_train(self, rng):
+        """256² input: f1 AND f2 both consumed directly as PackedT by the
+        decoder (geometry match), full train-mode forward with BN updates.
+
+        The packed front-end rounds through a different (equally valid) bf16
+        path than XLA, so full-depth argmax agreement is looser than the
+        decoder-only test; the tight assertions are at the feature level
+        (f1/f2 within bf16 noise) and on the BN batch statistics."""
+        from mmr_tpu.models.encoders import get_encoder
+
+        std, pk = self._models()
+        x = jnp.asarray(rng.rand(1, 256, 256, 3).astype(np.float32))
+        variables = std.init(jax.random.key(0), x, train=False)
+        y_std, m_std = std.apply(variables, x, train=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.key(1)})
+        y_pk, m_pk = pk.apply(variables, x, train=True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.key(1)})
+        agree = (np.argmax(np.asarray(y_pk), -1)
+                 == np.argmax(np.asarray(y_std), -1)).mean()
+        assert agree > 0.90
+        # tight: encoder features within bf16 noise
+        ev = {"params": variables["params"]["encoder"],
+              "batch_stats": variables["batch_stats"]["encoder"]}
+        spec = get_encoder("tu-mobilenetv3_small_100")
+        fs, _ = spec.build(jnp.bfloat16, "encoder").apply(
+            ev, x, train=True, mutable=["batch_stats"])
+        fp, _ = spec.build(jnp.bfloat16, "encoder", packed_frontend=True
+                           ).apply(ev, x, train=True, mutable=["batch_stats"])
+        for i in (0, 1):
+            a = np.asarray(fs[i], np.float32)
+            b = np.asarray(fp[i].unpack(), np.float32)
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 0.03, (i, rel)
+        # encoder front-end running stats updated consistently
+        for path in (("bn1",), ("b0_0", "bn1"), ("b0_0", "bn2")):
+            a, b = m_pk["batch_stats"], m_std["batch_stats"]
+            for p in ("encoder",) + path:
+                a, b = a[p], b[p]
+            np.testing.assert_allclose(np.asarray(a["mean"]),
+                                       np.asarray(b["mean"]),
+                                       atol=0.03, rtol=0.1)
+            np.testing.assert_allclose(np.asarray(a["var"]),
+                                       np.asarray(b["var"]),
+                                       atol=0.03, rtol=0.1)
+
+    def test_equivalence_small_geometry_fallback(self, rng):
+        """128×256 input: f2's decoder row is below packed_min_hw, so the
+        PackedT features take the unpack fallback — still equivalent."""
+        std, pk = self._models()
+        x = jnp.asarray(rng.rand(1, 128, 256, 3).astype(np.float32))
+        variables = std.init(jax.random.key(0), x, train=False)
+        y_std = std.apply(variables, x, train=False)
+        y_pk = pk.apply(variables, x, train=False)
+        agree = (np.argmax(np.asarray(y_pk), -1)
+                 == np.argmax(np.asarray(y_std), -1)).mean()
+        assert agree > 0.98
+
+    def test_grads_match(self, rng):
+        """Front-end gradients (stem conv/bn + b0_0 dw/SE/pw/bns) through a
+        shallow feature-level loss track the XLA encoder's — the full
+        stem/dw/SE/pw backward chain including the moments correction. (A
+        full-model loss amplifies bf16 forward noise too much to assert
+        per-element at the bottom layer.)"""
+        from mmr_tpu.models.encoders import get_encoder
+
+        spec = get_encoder("tu-mobilenetv3_small_100")
+        enc_s = spec.build(jnp.bfloat16, "encoder")
+        enc_p = spec.build(jnp.bfloat16, "encoder", packed_frontend=True)
+        x = jnp.asarray(rng.rand(1, 256, 256, 3).astype(np.float32))
+        variables = enc_s.init(jax.random.key(0), x, train=False)
+        r1 = jnp.asarray(rng.randn(1, 128, 128, 16).astype(np.float32))
+        r2 = jnp.asarray(rng.randn(1, 64, 64, 16).astype(np.float32))
+
+        def loss(params, enc):
+            out, _ = enc.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            f1, f2 = out[0], out[1]
+            f1 = f1.unpack() if hasattr(f1, "unpack") else f1
+            f2 = f2.unpack() if hasattr(f2, "unpack") else f2
+            return ((f1.astype(jnp.float32) * r1).sum()
+                    + (f2.astype(jnp.float32) * r2).sum())
+
+        g_std = jax.grad(lambda p: loss(p, enc_s))(variables["params"])
+        g_pk = jax.grad(lambda p: loss(p, enc_p))(variables["params"])
+        for name in ("conv_stem", "bn1", "b0_0"):
+            a = jax.tree_util.tree_leaves(g_pk[name])
+            b = jax.tree_util.tree_leaves(g_std[name])
+            for ai, bi in zip(a, b):
+                ai = np.asarray(ai, np.float64)
+                bi = np.asarray(bi, np.float64)
+                err = np.abs(ai - bi).max() / (np.abs(bi).max() + 1e-8)
+                assert err < 0.25, (name, err)
+
+
 def test_bwd_input_group_split_matches_unsplit(rng, monkeypatch):
     """When a node's backward doesn't fit VMEM, inputs are processed in
     groups (each re-reading dy) — gradients must match the unsplit path
@@ -438,6 +557,39 @@ class TestFusedHeadLoss:
             err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
             assert err < 0.08, (n, err)
 
+    def test_per_pixel_stabilization_large_spread(self, rng):
+        """Pixels whose own logit max sits far below the tile max must keep
+        finite, correct softmax/CE stats (ADVICE r2 medium: a tile-global max
+        underflowed every exp() of such pixels, silently zeroing their
+        Dice/CE contribution). Reference: MONAI softmax CE is per-pixel
+        stabilized."""
+        from mmr_tpu.losses.dice_ce import dice_ce_loss
+
+        g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng)
+        # a couple of rows with huge activations -> logit spread ~1e3 within
+        # one row tile (th == h == 16 here, so one tile sees both regimes)
+        x = x.at[0, :2].multiply(400.0)
+        spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(CIN), nc=NC)
+        cp = g.cp(CIN)
+        pad = cp - CIN
+        pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g.p),
+                         jnp.tile(jnp.pad(t, (0, pad)), g.p)])
+        tee = _toeplitz(w3, g.p, cp, g.cp(NC))
+        bias_l = pc.bias_lanes(bias, g.p, g.cp(NC))
+        lab = pc.pack_labels(masks, g, NC)
+        _, stats, conf = pc.fused_head_loss(
+            spec, pc.to_packed(x, g), tee, pro, bias_l, lab)
+        loss, _ = pc.assemble_dice_ce(spec, stats, conf, B * g.h * g.w)
+
+        a = jnp.maximum(x.astype(jnp.bfloat16).astype(jnp.float32) * s + t, 0.0)
+        logits = ref_conv(a.astype(jnp.bfloat16), w3) + bias
+        want = dice_ce_loss(logits, masks)
+        assert np.isfinite(float(loss))
+        np.testing.assert_allclose(float(loss), float(want), rtol=2e-2)
+        # every pixel must contribute probs (sum probs == n_pixels)
+        psum = float(stats[:, 0, :].sum())
+        assert psum == pytest.approx(B * g.h * g.w, rel=1e-3)
+
     def test_fused_head_loss_model_path(self, rng):
         """model.apply(..., labels=masks) routes the packed head through the
         fused loss kernel; assembled loss matches dice_ce_loss on the same
@@ -464,6 +616,160 @@ class TestFusedHeadLoss:
         loss_r = dice_ce_loss(y_pk, masks)
         np.testing.assert_allclose(float(loss_f), float(loss_r), rtol=2e-2)
         assert float(conf_c.sum()) == pytest.approx(2 * 128 * 256, rel=1e-6)
+
+
+class TestFusedConvDown:
+    """fused_conv_down (stride-2 packed conv, fwd + full bwd) vs the XLA
+    oracle ``conv(act(x*s+t), stride=2, padding=(1,1))`` — values, moments,
+    and every gradient. Reference semantics: timm mobilenetv3 stride-2 convs
+    (stem / conv_dw), ``Main_MMR_SegModel.py:589``."""
+
+    def _geoms(self, h=16):
+        return (pc.RowGeom(h, 64, 8, 8, 16),
+                pc.RowGeom(h // 2, 32, 4, 8, 16))
+
+    def _oracle(self, x, w3, s, t, act):
+        v = x.astype(jnp.bfloat16).astype(jnp.float32) * s + t
+        if act == "relu":
+            a = jnp.maximum(v, 0.0)
+        elif act == "hswish":
+            a = v * jnp.clip(v + 3.0, 0.0, 6.0) / 6.0
+        else:
+            a = v
+        return jax.lax.conv_general_dilated(
+            a.astype(jnp.bfloat16).astype(jnp.float32),
+            w3.astype(jnp.bfloat16).astype(jnp.float32), (2, 2),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @pytest.mark.parametrize("act", ["relu", "hswish", "linear"])
+    def test_fwd_bwd_match_oracle(self, rng, act):
+        g_src, g_dst = self._geoms()
+        B, CIN, CO = 2, 5, 6
+        x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, CIN).astype(np.float32))
+        w3 = jnp.asarray(rng.randn(3, 3, CIN, CO).astype(np.float32) * 0.3)
+        s = jnp.asarray(rng.rand(CIN).astype(np.float32) + 0.5)
+        t = jnp.asarray(rng.randn(CIN).astype(np.float32) * 0.3)
+        r = jnp.asarray(rng.randn(B, g_dst.h, g_dst.w, CO).astype(np.float32))
+        q = jnp.asarray(rng.randn(2, CO).astype(np.float32))
+        cfg = pc.DownCfg(g_src=g_src, g_dst=g_dst,
+                         l_in=g_src.lanes(CIN), lo=g_dst.lanes(CO),
+                         pro=act, has_bias=False, emit_moments=True)
+        cp_s, cop = g_src.cp(CIN), g_dst.cp(CO)
+
+        def fused(x, w3, s, t):
+            pad = cp_s - CIN
+            pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g_src.p),
+                             jnp.tile(jnp.pad(t, (0, pad)), g_src.p)])
+            y_p, mom = pc.fused_conv_down(cfg, pc.to_packed(x, g_src), w3,
+                                          pro, None)
+            y = pc.from_packed(y_p, g_dst, CO).astype(jnp.float32)
+            # per-lane sums are partial (per pixel slot) — fold over slots
+            mq = mom.reshape(2, g_dst.p, cop).sum(1)[:, :CO]
+            return (y * r).sum() + (mq * q[:, :CO]).sum(), y
+
+        def unfused(x, w3, s, t):
+            y = self._oracle(x, w3, s, t, act)
+            mq = jnp.stack([y.sum((0, 1, 2)), (y * y).sum((0, 1, 2))])
+            return (y * r).sum() + (mq * q[:, :CO]).sum(), y
+
+        (lf, yf), gf = jax.value_and_grad(fused, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(x, w3, s, t)
+        (lr_, yr), gr = jax.value_and_grad(unfused, argnums=(0, 1, 2, 3),
+                                           has_aux=True)(x, w3, s, t)
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
+                                   atol=0.08, rtol=0.05)
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        for n, a, b in zip(["dx", "dw", "dscale", "dshift"], gf, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            assert err < 0.08, (n, err)
+
+    def test_bias_no_pro_no_dx(self, rng):
+        """bias path + need_dx=False (the stem consumes the non-diff image)."""
+        g_src, g_dst = self._geoms()
+        B, CIN, CO = 1, 3, 4
+        x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, CIN).astype(np.float32))
+        w3 = jnp.asarray(rng.randn(3, 3, CIN, CO).astype(np.float32) * 0.3)
+        bias = jnp.asarray(rng.randn(CO).astype(np.float32))
+        cfg = pc.DownCfg(g_src=g_src, g_dst=g_dst,
+                         l_in=g_src.lanes(CIN), lo=g_dst.lanes(CO),
+                         pro=None, has_bias=True, emit_moments=False,
+                         need_dx=False)
+
+        def fused(w3, bias):
+            y_p, _ = pc.fused_conv_down(
+                cfg, pc.to_packed(x, g_src), w3,
+                None, pc.bias_lanes(bias, g_dst.p, g_dst.cp(CO)))
+            return (pc.from_packed(y_p, g_dst, CO).astype(jnp.float32) ** 2).sum()
+
+        def unfused(w3, bias):
+            return ((self._oracle(x, w3, jnp.ones(CIN), jnp.zeros(CIN),
+                                  "linear") + bias) ** 2).sum()
+
+        lf, gf = jax.value_and_grad(fused, argnums=(0, 1))(w3, bias)
+        lr_, gr = jax.value_and_grad(unfused, argnums=(0, 1))(w3, bias)
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        for n, a, b in zip(["dw", "dbias"], gf, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            assert err < 0.08, (n, err)
+
+    def test_depthwise_diag_expansion(self, rng):
+        """Depthwise stride-2 conv == fused_conv_down with a diagonal-expanded
+        dense kernel (the packed front-end's conv_dw execution)."""
+        g_src, g_dst = self._geoms()
+        B, C = 2, 5
+        x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, C).astype(np.float32))
+        dw = jnp.asarray(rng.randn(3, 3, C).astype(np.float32) * 0.4)
+        w_dense = dw[..., None, :] * jnp.eye(C)[None, None].transpose(
+            (0, 1, 3, 2))  # (3,3,Cin,Cout) with w[..,i,i] = dw[..,i]
+        cfg = pc.DownCfg(g_src=g_src, g_dst=g_dst, l_in=g_src.lanes(C),
+                         lo=g_dst.lanes(C), pro=None, has_bias=False,
+                         emit_moments=False)
+        y_p, _ = pc.fused_conv_down(cfg, pc.to_packed(x, g_src), w_dense,
+                                    None, None)
+        got = np.asarray(pc.from_packed(y_p, g_dst, C), np.float32)
+        ref = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16).astype(jnp.float32),
+            dw[:, :, None, :].astype(jnp.bfloat16).astype(jnp.float32),
+            (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        np.testing.assert_allclose(got, np.asarray(ref, np.float32),
+                                   atol=0.05, rtol=0.05)
+
+    def test_multi_tile_rows(self, rng, monkeypatch):
+        """Tiny VMEM budget forces th < h (multi-row-tile grid + halo'd
+        cross-tile dy reads in bwd)."""
+        g_src, g_dst = self._geoms(h=64)
+        B, CIN, CO = 1, 4, 4
+        monkeypatch.setattr(pc, "_VMEM_BUDGET", 1_100_000)
+        x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, CIN).astype(np.float32))
+        w3 = jnp.asarray(rng.randn(3, 3, CIN, CO).astype(np.float32) * 0.3)
+        cfg = pc.DownCfg(g_src=g_src, g_dst=g_dst, l_in=g_src.lanes(CIN),
+                         lo=g_dst.lanes(CO), pro="relu", has_bias=False,
+                         emit_moments=False)
+        assert cfg.th(backward=False) < g_dst.h
+        assert cfg.th(backward=True) < g_dst.h
+        s = jnp.ones(CIN)
+        t = jnp.zeros(CIN)
+        pro = jnp.stack([jnp.tile(jnp.pad(s, (0, g_src.cp(CIN) - CIN)), g_src.p),
+                         jnp.tile(jnp.pad(t, (0, g_src.cp(CIN) - CIN)), g_src.p)])
+
+        def fused(x, w3):
+            y_p, _ = pc.fused_conv_down(cfg, pc.to_packed(x, g_src), w3,
+                                        pro, None)
+            return (pc.from_packed(y_p, g_dst, CO).astype(jnp.float32) ** 2).sum()
+
+        def unfused(x, w3):
+            return (self._oracle(x, w3, s, t, "relu") ** 2).sum()
+
+        lf, gf = jax.value_and_grad(fused, argnums=(0, 1))(x, w3)
+        lr_, gr = jax.value_and_grad(unfused, argnums=(0, 1))(x, w3)
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        for n, a, b in zip(["dx", "dw"], gf, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            assert err < 0.08, (n, err)
 
 
 def test_stride2_down_taps_match_lax_conv(rng):
