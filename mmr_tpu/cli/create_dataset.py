@@ -19,6 +19,10 @@ def main(argv=None):
     parser.add_argument("--n_videos", type=int, default=None,
                         help="convert only the first N videos (mini-dataset "
                              "workflow, Mini_Dataset_ZarrFile.ipynb)")
+    parser.add_argument("--image_dtype", type=str, default="float32",
+                        choices=["float32", "uint8"],
+                        help="uint8: compact store (lossless for 8-bit video"
+                             " sources, 4x less decode/transfer)")
     parser.add_argument("--write_split", action="store_true",
                         help="write a hand-made train/val split JSON over "
                              "the converted videos (mini-dataset workflow)")
@@ -28,9 +32,12 @@ def main(argv=None):
     from mmr_tpu.data.convert import convert_zip_dataset
 
     patch = safe_eval(args.patch_size)
+    import numpy as np
+
     out = convert_zip_dataset(args.zip_path, args.out_path, args.n_classes,
                               patch, n_videos=args.n_videos,
-                              write_split=args.write_split)
+                              write_split=args.write_split,
+                              image_dtype=np.dtype(args.image_dtype))
     print(f"Dataset written to {out}")
     return 0
 

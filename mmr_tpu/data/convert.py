@@ -53,11 +53,13 @@ def _read_mask(data: bytes) -> np.ndarray:
 def _write_video_store(
     cap, mask_idx2name: dict[int, str], read_mask, out_path: Path,
     n_classes: int, patch_size, rng: np.random.RandomState,
+    image_dtype=np.float32,
 ) -> None:
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     frames = sorted(mask_idx2name)
-    store = VideoStore.create(out_path, len(frames), h, w, patch_size)
+    store = VideoStore.create(out_path, len(frames), h, w, patch_size,
+                              image_dtype=image_dtype)
     class_locations = {str(c): [] for c in range(1, n_classes + 1)}
     for i, frame_idx in enumerate(frames):
         cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
@@ -90,6 +92,7 @@ def convert_zip_dataset(
     seed: int = 0,
     n_videos: int | None = None,
     write_split: bool = False,
+    image_dtype=np.float32,
 ) -> Path:
     """ZIP (nested per-video zips) or directory of video folders → Zarr
     dataset at ``<out>/data/data_NNN.zarr``.
@@ -97,7 +100,12 @@ def convert_zip_dataset(
     ``n_videos`` limits conversion to the first N videos and
     ``write_split`` hand-writes a train/val split JSON over them — the
     mini-dataset workflow of ``Mini_Dataset_ZarrFile.ipynb`` (repack N
-    videos + manual split file) as a first-class tool."""
+    videos + manual split file) as a first-class tool.
+
+    ``image_dtype=np.uint8`` writes the compact store variant (lossless for
+    8-bit video sources; 4x less decode work and host->device traffic —
+    see ``VideoStore.create``). float32 is the reference-compatible
+    default (``Data_Loader.py:303-328``)."""
     zip_path = Path(zip_path)
     out_root = Path(out_path)
     (out_root / "data").mkdir(parents=True, exist_ok=True)
@@ -119,7 +127,7 @@ def convert_zip_dataset(
                 _write_video_store(
                     cap, mapping, lambda n: _read_mask(zf.read(n)),
                     out_root / "data" / f"data_{index:03d}.zarr",
-                    n_classes, patch_size, rng)
+                    n_classes, patch_size, rng, image_dtype)
             finally:
                 cap.release()
         index += 1
@@ -142,7 +150,7 @@ def convert_zip_dataset(
                 _write_video_store(
                     cap, masks, lambda n: _read_mask(Path(n).read_bytes()),
                     out_root / "data" / f"data_{index:03d}.zarr",
-                    n_classes, patch_size, rng)
+                    n_classes, patch_size, rng, image_dtype)
             finally:
                 cap.release()
             index += 1

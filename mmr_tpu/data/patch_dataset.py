@@ -106,38 +106,41 @@ class PatchSampler:
     # ----------------------------------------------------------------- epoch
     def epoch(self, epoch_seed: int | None = None, num_workers: int = 8):
         """Yield ``steps_per_epoch`` batches of (images NHWC f32 [0,1],
-        masks NHW u8). The per-sample Zarr window reads (chunk decode is
-        C-side, GIL-free) run on a thread pool — the reference's
-        ``num_workers`` DataLoader processes collapse to this plus the
-        on-device augmentation."""
+        masks NHW u8).
+
+        All of a batch's Zarr window reads are issued as tensorstore FUTURES
+        up front and decoded in parallel on tensorstore's C++ thread pool —
+        the reference's ``num_workers`` DataLoader processes
+        (``Pre_Process.py:1137-1145``) collapse into this plus the on-device
+        augmentation. ``num_workers`` caps the assembly thread pool (the
+        numpy pad/transpose epilogues, which do hold the GIL briefly)."""
         from concurrent.futures import ThreadPoolExecutor
 
         if epoch_seed is not None:
             self.rng = np.random.RandomState(epoch_seed)
         iph, ipw = self.initial_patch_size
 
-        def read_one(args):
-            pos, si, t, y0, x0 = args
-            store = self.stores[si]
-            return (pos, store.read_image_window(t, y0, x0, iph, ipw),
-                    store.read_mask_window(t, y0, x0, iph, ipw))
-
         with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
             for _ in range(self.steps_per_epoch):
                 idxs = self._next_sample_indices(self.batch_size)
                 # all RNG-dependent decisions happen here, in order, on the
-                # caller thread — the pool only performs reads (deterministic)
-                work = []
+                # caller thread — reads themselves are deterministic
+                finishers = []
                 for pos, sample_idx in enumerate(idxs):
                     si, t = self.samples[sample_idx]
                     frame_locs = (self._frame_locations(si, t)
                                   if self._force_fg(pos) else None)
                     y0, x0 = self._get_bbox(self.stores[si].shape[1:],
                                             frame_locs is not None, frame_locs)
-                    work.append((pos, si, t, y0, x0))
-                imgs = np.empty((self.batch_size, iph, ipw, 3), np.float32)
+                    finishers.append(self.stores[si].read_windows_async(
+                        t, y0, x0, iph, ipw))
+                # uint8 stores flow through as uint8 (the train/eval steps
+                # divide by 255 on device); f32 stores stay f32 [0,1]
+                imgs = np.empty((self.batch_size, iph, ipw, 3),
+                                self.stores[0].image_dtype)
                 masks = np.empty((self.batch_size, iph, ipw), np.uint8)
-                for pos, img, mask in pool.map(read_one, work):
+                for pos, (img, mask) in enumerate(
+                        pool.map(lambda f: f(), finishers)):
                     imgs[pos] = img
                     masks[pos] = mask
                 yield imgs, masks

@@ -43,6 +43,7 @@ def make_synthetic_dataset(
     n_classes: int = 3,
     patch_size: tuple[int, int] = (64, 64),
     seed: int = 0,
+    image_dtype=np.float32,
 ) -> Path:
     """Write ``<path>/data/data_NNN.zarr`` stores + a split file covering all
     videos; returns the dataset root."""
@@ -53,7 +54,8 @@ def make_synthetic_dataset(
     for v in range(n_videos):
         name = f"data_{v:03d}"
         store = VideoStore.create(root / "data" / f"{name}.zarr",
-                                  frames_per_video, height, width, patch_size)
+                                  frames_per_video, height, width, patch_size,
+                                  image_dtype=image_dtype)
         class_locations = {str(c): [] for c in range(1, n_classes + 1)}
         for t in range(frames_per_video):
             img, mask = _render_frame(rng, height, width, n_classes)

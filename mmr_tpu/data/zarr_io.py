@@ -66,7 +66,15 @@ class VideoStore:
     # ------------------------------------------------------------- creation
     @classmethod
     def create(cls, path: str | Path, n_frames: int, height: int, width: int,
-               patch_size: tuple[int, int]) -> "VideoStore":
+               patch_size: tuple[int, int],
+               image_dtype=np.float32) -> "VideoStore":
+        """``image_dtype=np.uint8`` selects the compact store variant: the
+        source pixels are 8-bit video (``k/255`` floats in the reference
+        schema, ``Data_Loader.py:359-361``), so uint8 storage is LOSSLESS
+        while quartering the decode bytes per patch read and the host→HBM
+        transfer (the train/eval steps accept uint8 batches natively and
+        divide by 255 on device). float32 (default) is the reference's
+        byte-compatible schema."""
         self = cls(path)
         self.path.mkdir(parents=True, exist_ok=True)
         (self.path / "zarr.json").write_text(json.dumps({
@@ -75,14 +83,23 @@ class VideoStore:
         ph, pw = int(patch_size[0]), int(patch_size[1])
         self._image = ts.open(_array_spec(
             self.path / "image", shape=(3, n_frames, height, width),
-            chunks=(3, 1, ph, pw), dtype=np.float32, create=True)).result()
+            chunks=(3, 1, ph, pw), dtype=image_dtype, create=True)).result()
         self._mask = ts.open(_array_spec(
             self.path / "mask", shape=(n_frames, height, width),
             chunks=(1, ph, pw), dtype=np.uint8, create=True)).result()
         return self
 
+    @property
+    def image_dtype(self):
+        return np.dtype(self.image.dtype.name)
+
     def write_frame(self, i: int, image_chw: np.ndarray, mask_hw: np.ndarray) -> None:
-        self.image[:, i].write(image_chw.astype(np.float32)).result()
+        if self.image_dtype == np.uint8:
+            img = np.clip(np.rint(np.asarray(image_chw, np.float32) * 255.0),
+                          0, 255).astype(np.uint8)
+        else:
+            img = image_chw.astype(np.float32)
+        self.image[:, i].write(img).result()
         self.mask[i].write(mask_hw.astype(np.uint8)).result()
 
     def set_properties(self, properties: dict) -> None:
@@ -124,6 +141,8 @@ class VideoStore:
         from mmr_tpu.ops.padcrop import center_pad_bbox_crop
 
         chw = center_pad_bbox_crop(self.image[:, t], (y0, x0), (h, w), pad_value)
+        if chw.dtype == np.uint8:
+            chw = chw.astype(np.float32) / 255.0
         return np.ascontiguousarray(chw.transpose(1, 2, 0))
 
     def read_mask_window(self, t: int, y0: int, x0: int, h: int, w: int) -> np.ndarray:
@@ -131,9 +150,33 @@ class VideoStore:
 
         return center_pad_bbox_crop(self.mask[t], (y0, x0), (h, w), 0)
 
+    def read_windows_async(self, t: int, y0: int, x0: int, h: int, w: int):
+        """Issue the image+mask window reads as tensorstore FUTURES (decode
+        runs on tensorstore's C++ thread pool, fully parallel across a
+        batch's windows — the Python-thread read path serializes on per-call
+        latency). Returns ``finish() -> (img_hwc_f32, mask_hw_u8)``."""
+        from mmr_tpu.ops.padcrop import assemble_window, window_slices
+
+        spatial = self.shape[1:]
+        src, before = window_slices((y0, x0), (h, w), spatial)
+        img_fut = self.image[(slice(None), t) + src].read()
+        mask_fut = self.mask[(t,) + src].read()
+
+        def finish():
+            chw = assemble_window(np.asarray(img_fut.result()), before,
+                                  (h, w), 1, 0.0)
+            img = np.ascontiguousarray(chw.transpose(1, 2, 0))
+            mask = assemble_window(np.asarray(mask_fut.result()), before,
+                                   (h, w), 0, 0)
+            return img, mask
+
+        return finish
+
     def read_frames(self, t0: int, t1: int) -> tuple[np.ndarray, np.ndarray]:
         """Whole frames [t0, t1) → image (T, H, W, 3) f32, mask (T, H, W) u8."""
         img = np.asarray(self.image[:, t0:t1]).transpose(1, 2, 3, 0)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
         mask = np.asarray(self.mask[t0:t1])
         return np.ascontiguousarray(img), mask
 

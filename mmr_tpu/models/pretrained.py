@@ -286,6 +286,46 @@ def import_smp_unetpp_state_dict(sd: Mapping[str, Any], encoder_name: str
     return params, stats
 
 
+def import_smp_unet_state_dict(sd: Mapping[str, Any], encoder_name: str
+                               ) -> tuple[dict, dict]:
+    """Convert a complete smp ``Unet`` state dict into our
+    :class:`~mmr_tpu.models.decoders.UnetDecoderModel` params/batch_stats
+    (PKG-INFO Example 3's architecture: ``Unet + tu-convnextv2_tiny``).
+
+    smp naming: ``encoder.[model.]...``, ``decoder.blocks.{i}.conv{1,2}.
+    {0,1}.*`` (Conv2dReLU = Sequential[conv, bn, relu]) and
+    ``segmentation_head.0.{weight,bias}`` — the same Conv2dReLU layout the
+    proven UNet++ importer maps (``import_smp_unetpp_state_dict``)."""
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    if any(k.startswith("model.") for k in enc_sd):
+        enc_sd = {k[len("model."):]: v for k, v in enc_sd.items()
+                  if k.startswith("model.")}
+    enc_params, enc_stats = import_torch_state_dict(enc_sd, encoder_name)
+    params: dict = {"encoder": enc_params}
+    stats: dict = {"encoder": enc_stats}
+
+    idxs = sorted({int(k.split(".")[2]) for k in sd
+                   if k.startswith("decoder.blocks.")})
+    for i in idxs:
+        p_node: dict = {}
+        s_node: dict = {}
+        for conv in ("conv1", "conv2"):
+            base = f"decoder.blocks.{i}.{conv}"
+            p_node[conv] = {"conv": {"kernel": _conv(sd[f"{base}.0.weight"])}}
+            bn_p, bn_s = _bn(sd, f"{base}.1")
+            p_node[conv]["bn"] = bn_p
+            s_node[conv] = {"bn": bn_s}
+        params[f"block{i}"] = p_node
+        stats[f"block{i}"] = s_node
+
+    params["head"] = {"conv": {
+        "kernel": _conv(sd["segmentation_head.0.weight"]),
+        "bias": _np(sd["segmentation_head.0.bias"]),
+    }}
+    return params, stats
+
+
 def _ln(sd: Mapping[str, Any], prefix: str) -> dict:
     return {"scale": _np(sd[f"{prefix}.weight"]).reshape(-1),
             "bias": _np(sd[f"{prefix}.bias"]).reshape(-1)}
