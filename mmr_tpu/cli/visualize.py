@@ -25,6 +25,10 @@ def main(argv=None):
     p.add_argument("--which", type=str, default="best_model")
     p.add_argument("--legend", action="store_true",
                    help="also render the class-color legend")
+    p.add_argument("--architecture", action="store_true",
+                   help="print a layer summary and render the encoder/"
+                        "decoder block diagram "
+                        "(Visualization_Segment_Prediction.py:233-305)")
     p.add_argument("--out", type=str, default="")
     args = p.parse_args(argv)
 
@@ -89,7 +93,64 @@ def main(argv=None):
         fig.tight_layout()
         fig.savefig(out_dir / "class_legend.png", dpi=120)
         print(f"Wrote {out_dir / 'class_legend.png'}")
+
+    if args.architecture:
+        out = save_architecture_diagram(trainer, out_dir)
+        print(f"Wrote {out}")
     return 0
+
+
+def save_architecture_diagram(trainer, out_dir: Path) -> Path:
+    """Layer summary printout + encoder/decoder block diagram — the
+    reference's architecture-visualization surface
+    (``Visualization_Segment_Prediction.py:233-305``: torchsummary +
+    matplotlib component boxes)."""
+    import jax
+    import matplotlib
+    import numpy as np
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from mmr_tpu.monitor.monitor import model_summary
+
+    print("Model Architecture Summary:")
+    print("=" * 50)
+    print(model_summary(trainer.model, trainer.state.variables))
+    arch = type(trainer.model).__name__
+    enc = getattr(trainer.model, "encoder_name", None)
+    n_params = sum(int(np.prod(v.shape)) for v in
+                   jax.tree_util.tree_leaves(trainer.state.params))
+
+    fig, ax = plt.subplots(figsize=(12, 6))
+    comps = [
+        (f"Input Image\n(H, W, 3)", (1, 4), "#FFE5B4"),
+        (f"Encoder\n{enc or 'built-in'}", (3, 4), "#87CEEB"),
+        (f"Decoder\n{arch}", (5, 4), "#98FB98"),
+        (f"Output\n(H, W, {trainer.n_classes})", (7, 4), "#FFB6C1"),
+        ("Skip Connections", (4, 2.5), "#DDA0DD"),
+        (f"{n_params:,} parameters", (4, 1.2), "#F0E68C"),
+    ]
+    for name, (cx, cy), color in comps:
+        ax.add_patch(plt.Rectangle((cx - 0.6, cy - 0.4), 1.2, 0.8,
+                                   facecolor=color, edgecolor="black",
+                                   linewidth=2))
+        ax.text(cx, cy, name, ha="center", va="center", fontsize=10,
+                fontweight="bold")
+    for (x0, y0), (x1, y1) in [((1.6, 4), (2.4, 4)), ((3.6, 4), (4.4, 4)),
+                               ((5.6, 4), (6.4, 4)), ((3.4, 3.7), (4, 2.9)),
+                               ((4, 2.9), (4.8, 3.7))]:
+        ax.annotate("", xy=(x1, y1), xytext=(x0, y0),
+                    arrowprops=dict(arrowstyle="->", lw=2))
+    ax.set_xlim(0, 8)
+    ax.set_ylim(0, 5.5)
+    ax.axis("off")
+    ax.set_title(f"{arch} architecture")
+    fig.tight_layout()
+    out = out_dir / "architecture_diagram.png"
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
 
 
 if __name__ == "__main__":

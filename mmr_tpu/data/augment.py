@@ -248,6 +248,112 @@ def _simulate_low_res_shared(images, scale, gate_bc):
     return jnp.where(gate_bc[:, None, None, :], low, images)
 
 
+def _affine_batch_shared_u8(images, masks, angle, scale, out_hw):
+    """uint8-source variant of ``_affine_batch_shared``: the four bilinear
+    corner gathers read the RAW uint8 image (≈4× less gather traffic than
+    f32, ≈2× less than the bf16 path), out-of-bounds corners are folded into
+    the (batch-shared) effective weights, and the weight-sum map is returned
+    so the caller can apply per-channel affine normalization AFTER the warp
+    with semantics identical to warping normalized data with cval=0:
+    ``Σ w·(v/255−m)/s·inb = (Σ w_eff·v)/(255·s) − (m/s)·Σ w_eff``.
+
+    Returns ``(acc bf16 (B,oh,ow,C) in 0..255 scale, wsum f32 (oh,ow),
+    masks_warped)``. Masks gather nearest (round-half-even, matching
+    ``map_coordinates(order=0)``) with OOB → 0."""
+    b, ih, iw, c = images.shape
+    oh, ow = out_hw
+    yy = jnp.arange(oh, dtype=jnp.float32) - (oh - 1) / 2.0
+    xx = jnp.arange(ow, dtype=jnp.float32) - (ow - 1) / 2.0
+    gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    cy = (ih - oh) // 2 + (oh - 1) / 2.0
+    cx = (iw - ow) // 2 + (ow - 1) / 2.0
+    sy = (gy * ca - gx * sa) * scale + cy
+    sx = (gy * sa + gx * ca) * scale + cx
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy, fx = sy - y0, sx - x0
+    y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+    flat = images.transpose(0, 3, 1, 2).reshape(b * c, ih * iw)
+    acc = jnp.zeros((b * c, oh * ow), jnp.bfloat16)
+    wsum = jnp.zeros((oh, ow), jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yc, xc = y0i + dy, x0i + dx
+            wgt = (fy if dy else 1.0 - fy) * (fx if dx else 1.0 - fx)
+            inb = (yc >= 0) & (yc < ih) & (xc >= 0) & (xc < iw)
+            w_eff = jnp.where(inb, wgt, 0.0)
+            idx = (jnp.clip(yc, 0, ih - 1) * iw
+                   + jnp.clip(xc, 0, iw - 1)).reshape(-1)
+            g = jnp.take(flat, idx, axis=1)  # (b*c, oh*ow) uint8
+            acc = acc + g.astype(jnp.bfloat16) \
+                * w_eff.reshape(-1).astype(jnp.bfloat16)[None]
+            wsum = wsum + w_eff
+    warped = acc.reshape(b, c, oh, ow).transpose(0, 2, 3, 1)
+
+    yn = jnp.round(sy).astype(jnp.int32)
+    xn = jnp.round(sx).astype(jnp.int32)
+    inb_n = (yn >= 0) & (yn < ih) & (xn >= 0) & (xn < iw)
+    idxn = (jnp.clip(yn, 0, ih - 1) * iw
+            + jnp.clip(xn, 0, iw - 1)).reshape(-1)
+    mw = jnp.take(masks.reshape(b, ih * iw), idxn, axis=1)
+    mw = jnp.where(inb_n.reshape(-1)[None, :], mw,
+                   jnp.zeros((), masks.dtype)).reshape(b, oh, ow)
+    return warped, wsum, mw
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mean", "std"))
+def augment_train_batch_u8(key, images, masks, cfg: AugmentConfig,
+                           mean: tuple, std: tuple):
+    """uint8-native fast path of :func:`augment_train_batch` (same transform
+    sequence, same per-key randomness): images arrive **uint8 0..255**
+    (compact-transfer contract), masks any int dtype with class ids < 256.
+
+    The spatial warp / center-crop runs directly on the uint8 sources and the
+    per-channel affine normalization ``(x/255 − mean)/std`` is applied AFTER
+    it — exactly equivalent to the f32 path's normalize-then-warp because
+    normalization is per-channel affine and the warp's cval=0 fill (in
+    normalized space) is reconstructed from the corners' in-bounds weight-sum
+    map. The intensity chain and mirroring are the shared bf16 implementation.
+
+    Returns ``(bf16 normalized images, masks)``. Requires
+    ``per_sample_spatial=False`` (that parity path takes the f32 route in
+    ``train/steps.py``)."""
+    assert not cfg.per_sample_spatial, \
+        "per-sample spatial parity runs use the f32 path"
+    b, c = images.shape[0], images.shape[-1]
+    ks = iter(jax.random.split(key, 26))
+
+    # identical draw sequence to augment_train_batch's batch-shared branch
+    rot_do = jax.random.bernoulli(next(ks), 0.2) & bool(cfg.rotation)
+    angle = jnp.where(rot_do, jax.random.uniform(
+        next(ks), (), minval=-cfg.rot_range, maxval=cfg.rot_range), 0.0)
+    scale_do = jax.random.bernoulli(next(ks), 0.2) & bool(cfg.scaling)
+    scale = jnp.where(scale_do, jax.random.uniform(
+        next(ks), (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1]), 1.0)
+
+    oh, ow = cfg.patch_size
+
+    def _warp(im, mk):
+        return _affine_batch_shared_u8(im, mk, angle, scale, cfg.patch_size)
+
+    def _crop(im, mk):
+        imc, mkc = _center_crop(im, mk, cfg.patch_size)
+        return (imc.astype(jnp.bfloat16), jnp.ones((oh, ow), jnp.float32),
+                mkc)
+
+    acc, wsum, masks = jax.lax.cond(rot_do | scale_do, _warp, _crop,
+                                    images, masks)
+    inv = (1.0 / (255.0 * np.asarray(std, np.float32)))
+    off = (np.asarray(mean, np.float32) / np.asarray(std, np.float32))
+    images = (acc * jnp.asarray(inv, jnp.bfloat16)
+              - jnp.asarray(off, jnp.bfloat16)
+              * wsum[None, :, :, None].astype(jnp.bfloat16))
+
+    return _intensity_and_mirror(ks, images, masks, cfg, b, c)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def augment_train_batch(key, images, masks, cfg: AugmentConfig):
     """images (N, iH, iW, C) f32 in [0,1]; masks (N, iH, iW) int →
@@ -297,6 +403,14 @@ def augment_train_batch(key, images, masks, cfg: AugmentConfig):
             lambda im, mk: _center_crop(im, mk, cfg.patch_size),
             images, masks)
 
+    return _intensity_and_mirror(ks, images, masks, cfg, b, c)
+
+
+def _intensity_and_mirror(ks, images, masks, cfg: AugmentConfig, b: int,
+                          c: int):
+    """Intensity-transform chain + mirroring, shared by the f32 and uint8
+    entry points (``ks`` continues the caller's 26-key draw stream so both
+    paths produce identical randomness for one key)."""
     # the intensity chain runs in bf16 (halves the ~200 MB/transform HBM
     # traffic at 32×512²; statistics reductions upcast to f32 inside their
     # fused reduces, so only storage precision drops — ~0.4% relative, far

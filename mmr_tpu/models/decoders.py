@@ -76,22 +76,94 @@ class _EncoderMixin:
 
 
 class UnetDecoderModel(nn.Module, _EncoderMixin):
-    """Plain U-Net decoder over a pyramid encoder (smp ``Unet`` capability)."""
+    """Plain U-Net decoder over a pyramid encoder (smp ``Unet`` capability).
+
+    ``packed=True`` runs the fine-resolution decoder blocks in the
+    packed-halo fused-kernel dataflow (``ops/pallas/packed_chain.py``) with
+    an identical parameter tree — the same engine the UNet++ flagship
+    benches at 2× the A100 estimate, applied to the smp ``Unet`` arch
+    (PKG-INFO Example 3's 83.55%-mIoU architecture)."""
 
     num_classes: int
     encoder_name: str = "resnet18"
     decoder_channels: tuple[int, ...] = (256, 128, 64, 32, 16)
+    packed: bool = False
+    packed_min_hw: int = 64 * 64
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, labels=None):
         feats = self._encode(x, train)  # [f1(s2) .. f5(s32)], f1 may be None
         skips = feats[:-1][::-1] + [None]  # [f4, f3, f2, f1, None]
         y = feats[-1]
+        if self.packed:
+            return self._packed(y, skips, train, labels)
         for i, ch in enumerate(self.decoder_channels):
             y = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(
                 y, [skips[i]] if skips[i] is not None else None, train)
         return SegmentationHead(self.num_classes, dtype=self.dtype, name="head")(y)
+
+    def _packed(self, y, skips, train, labels=None):
+        """smp-Unet chain in the packed dataflow: each block is two fused
+        multi-input kernels (lazy ×2-upsampled main input + packed skip,
+        deferred BN+ReLU); coarse rows stay on XLA. With ``labels`` the head
+        runs as the fused head+loss kernel (same contract as
+        ``UnetPlusPlusModel._packed_decoder``)."""
+        import mmr_tpu.ops.pallas.packed_chain as pc
+        from mmr_tpu.models.packed_blocks import (
+            PackedConvBN, PackedHeadLoss, PackedT, as_array, as_packed,
+            choose_row_geom, pack_into, pack_up_lazy, upsample_packed)
+
+        h5, w5 = y.shape[1], y.shape[2]
+        chans_in = [y.shape[-1]] + list(self.decoder_channels[:-1])
+        geoms = []
+        for i, ch in enumerate(self.decoder_channels):
+            h, w = h5 * 2 ** (i + 1), w5 * 2 ** (i + 1)
+            s = skips[i]
+            sc = [] if s is None else [
+                s.c if isinstance(s, PackedT) else s.shape[-1]]
+            geoms.append(choose_row_geom(
+                h, w, [([chans_in[i]] + sc, ch)], self.packed_min_hw))
+
+        for i, ch in enumerate(self.decoder_channels):
+            g = geoms[i]
+            s = skips[i]
+            if g is None:
+                y = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(
+                    as_array(y),
+                    [as_array(s)] if s is not None else None, train)
+                continue
+            if isinstance(y, PackedT):
+                x_up = upsample_packed(y, g)
+            else:
+                x_up = pack_up_lazy(y, g) \
+                    or pack_into(upsample2x(y, "nearest"), g)
+            inputs = [x_up] + ([as_packed(s, g)] if s is not None else [])
+
+            class _Node(nn.Module):
+                out_ch: int
+
+                @nn.compact
+                def __call__(self, inputs, train=False):
+                    h = PackedConvBN(self.out_ch, name="conv1")(inputs, train)
+                    return PackedConvBN(self.out_ch, name="conv2")([h], train)
+
+            y = _Node(ch, name=f"block{i}")(inputs, train)
+
+        if isinstance(y, PackedT):
+            if labels is not None:
+                spec = pc.HeadLossSpec(geom=y.geom, l_in=y.geom.lanes(y.c),
+                                       nc=self.num_classes)
+                yl, stats, conf = PackedHeadLoss(
+                    self.num_classes, name="head")(y, labels, train)
+                return {"stats": stats, "conf": conf, "spec": spec,
+                        "n_pixels": labels.shape[0] * y.geom.h * y.geom.w,
+                        "logits_packed": yl}
+            logits = PackedConvBN(self.num_classes, use_bn=False,
+                                  name="head")([y], train)
+            return logits.unpack().astype(jnp.float32)
+        return SegmentationHead(self.num_classes, dtype=self.dtype,
+                                name="head")(y)
 
 
 def smp_unetpp_plan(enc_ch: tuple[int, ...], dec_ch: tuple[int, ...]):
@@ -215,8 +287,8 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         ``packed_chain.assemble_dice_ce``."""
         import mmr_tpu.ops.pallas.packed_chain as pc
         from mmr_tpu.models.packed_blocks import (
-            PackedConvBN, PackedHeadLoss, PackedT, pack_up_lazy,
-            upsample_packed)
+            PackedConvBN, PackedHeadLoss, PackedT, as_array, as_packed,
+            choose_row_geom, pack_into, pack_up_lazy, upsample_packed)
 
         assert not self.deep_supervision, "packed path: deep_supervision off"
 
@@ -240,43 +312,11 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
 
         def choose_geom(l):
             h, w = scale_hw(l)
-            if h * w < self.packed_min_hw:
-                return None
-            budget = 5 * 1024 * 1024
-            for p in (8, 4, 2, 1):
-                if 128 % p or w % p:
-                    continue
-                wb = w // p
-                if wb < 8 or wb % 8:
-                    continue
-                g = pc.RowGeom(h, w, p, wb, -(-(wb + 2) // 8) * 8)
-                ok = True
-                for (d, ll), chans in pieces.items():
-                    if ll != l:
-                        continue
-                    out_ch = plan[(d, ll)][2]
-                    tees = 9 * sum(g.lanes(c) for c in chans) \
-                        * g.lanes(out_ch) * 2
-                    tees2 = 9 * g.lanes(out_ch) * g.lanes(out_ch) * 2
-                    if max(tees, tees2) > budget:
-                        ok = False
-                        break
-                if ok:
-                    return g
-            return None
+            rows = [(chans, plan[(d, ll)][2])
+                    for (d, ll), chans in pieces.items() if ll == l]
+            return choose_row_geom(h, w, rows, self.packed_min_hw)
 
         geoms = {l: choose_geom(l) for l in range(depth + 1)}
-
-        def as_array(v):
-            return v.unpack() if isinstance(v, PackedT) else v
-
-        def pack_into(arr, g):
-            return PackedT(pc.to_packed(arr, g), None, arr.shape[-1], g)
-
-        def as_packed(v, g):
-            if isinstance(v, PackedT):
-                return v if v.geom == g else pack_into(as_array(v), g)
-            return pack_into(v, g)
 
         # encoder features feed every node of their scale row — pack each
         # (feature, geometry) pair ONCE so the fwd packs don't repeat and the

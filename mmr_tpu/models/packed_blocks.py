@@ -243,6 +243,51 @@ class PackedHeadLoss(nn.Module):
         return pc.fused_head_loss(spec, t.data, tee, pro, bias_l, labels_p)
 
 
+def as_array(v):
+    """PackedT → NHWC (applying pending prologue/upsample); arrays pass."""
+    return v.unpack() if isinstance(v, PackedT) else v
+
+
+def pack_into(arr, g: pc.RowGeom) -> PackedT:
+    return PackedT(pc.to_packed(arr, g), None, arr.shape[-1], g)
+
+
+def as_packed(v, g: pc.RowGeom) -> PackedT:
+    """Deliver ``v`` packed at geometry ``g`` (lazy-upsampled tensors whose
+    destination geometry already is ``g`` pass through untouched)."""
+    if isinstance(v, PackedT):
+        return v if v.geom == g else pack_into(as_array(v), g)
+    return pack_into(v, g)
+
+
+def choose_row_geom(h: int, w: int, node_chans, min_hw: int,
+                    tee_budget: int = 5 * 1024 * 1024) -> pc.RowGeom | None:
+    """Largest packing factor whose worst node at this (h, w) keeps its
+    Toeplitz tap matrices under ``tee_budget`` VMEM bytes. ``node_chans`` is
+    a list of (input_channel_list, out_ch) for every node at this scale.
+    Returns None when the resolution is below ``min_hw`` or no p fits —
+    callers fall back to the XLA path for that row."""
+    if h * w < min_hw:
+        return None
+    for p in (8, 4, 2, 1):
+        if 128 % p or w % p:
+            continue
+        wb = w // p
+        if wb < 8 or wb % 8:
+            continue
+        g = pc.RowGeom(h, w, p, wb, -(-(wb + 2) // 8) * 8)
+        ok = True
+        for chans, out_ch in node_chans:
+            tees = 9 * sum(g.lanes(c) for c in chans) * g.lanes(out_ch) * 2
+            tees2 = 9 * g.lanes(out_ch) * g.lanes(out_ch) * 2
+            if max(tees, tees2) > tee_budget:
+                ok = False
+                break
+        if ok:
+            return g
+    return None
+
+
 def upsample_packed(t: PackedT, g_dst: pc.RowGeom) -> PackedT:
     """Nearest ×2 upsample into the destination row's geometry; the pending
     prologue commutes (elementwise).

@@ -100,6 +100,19 @@ class Trainer:
 
         self.rng = RngStream(seed_everything(int(config.get("seed", 6210))))
         self.monitor = TrainingMonitor(self.results_path, self.n_epochs)
+        if (aug_cfg.get("heavy_augmentation")
+                and not aug_cfg.get("per_sample_spatial")):
+            # documented semantic divergence from the reference: the default
+            # batch-shared spatial draw (fast TPU path) vs the reference's
+            # per-sample rotation/scale parameters (Pre_Process.py:278-463).
+            # A reproduction attempt with heavy augmentation should not
+            # inherit it silently.
+            self.monitor.log_message(
+                "transformations.heavy_augmentation=True with the default "
+                "batch-shared spatial draws — for the reference's exact "
+                "per-sample spatial distribution add "
+                "--transformations_per_sample_spatial true (slower on TPU)",
+                level="WARNING")
         if aug_cfg.get("dummy_2d"):
             # The reference's dummy_2d wraps SpatialTransform in
             # Convert3DTo2D/2DTo3D so rotation/scaling act in-plane on

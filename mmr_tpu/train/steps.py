@@ -32,8 +32,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mmr_tpu.core.mesh import DATA_AXIS
-from mmr_tpu.data.augment import AugmentConfig, augment_train_batch
+from mmr_tpu.data.augment import (AugmentConfig, augment_train_batch,
+                                  augment_train_batch_u8)
 from mmr_tpu.metrics.confusion import segmentation_stats
+from mmr_tpu.models.factory import Preprocessing
 from mmr_tpu.metrics.iou import iou_score
 from mmr_tpu.train.state import TrainState
 
@@ -118,15 +120,26 @@ def make_train_step(
         def accum_body(carry, xs):
             stats, grad_sum, loss_sum, iou_sum = carry
             img, msk, r = xs
-            if img.dtype == jnp.uint8:  # compact-transfer path: k/255 floats
-                img = img.astype(jnp.float32) / 255.0
-            if preprocess is not None:
-                img = preprocess(img)
-            if augment is not None:
-                if isinstance(augment, AugmentConfig):
-                    img, msk = augment_train_batch(r[0], img, msk, augment)
-                else:  # custom callable, e.g. the Path-A pipeline
-                    img, msk = augment(r[0], img, msk)
+            if (img.dtype == jnp.uint8 and isinstance(augment, AugmentConfig)
+                    and not augment.per_sample_spatial
+                    and isinstance(preprocess, Preprocessing)):
+                # uint8-native fast path: the spatial warp/crop gathers run
+                # on the raw uint8 bytes and the per-channel affine
+                # normalization folds in after the warp — semantically
+                # identical to /255 → preprocess → augment (equivalence-
+                # tested in tests/test_augment.py)
+                img, msk = augment_train_batch_u8(
+                    r[0], img, msk, augment, preprocess.mean, preprocess.std)
+            else:
+                if img.dtype == jnp.uint8:  # compact transfer: k/255 floats
+                    img = img.astype(jnp.float32) / 255.0
+                if preprocess is not None:
+                    img = preprocess(img)
+                if augment is not None:
+                    if isinstance(augment, AugmentConfig):
+                        img, msk = augment_train_batch(r[0], img, msk, augment)
+                    else:  # custom callable, e.g. the Path-A pipeline
+                        img, msk = augment(r[0], img, msk)
             (loss, (new_stats, _, iou)), grads = grad_fn(
                 state.params, stats, img, msk, r[1])
             grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)

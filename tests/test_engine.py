@@ -78,3 +78,13 @@ def test_engine_resume_continues_epochs(smoke_run):
     t2.train(*samplers)
     loss_dict = pickle.loads((results / "loss_dict.pkl").read_bytes())
     assert len(loss_dict["train"]) == 3  # history stayed continuous
+
+
+def test_architecture_diagram(smoke_run, tmp_path):
+    """cli.visualize --architecture surface: layer summary + block diagram
+    (the reference's Visualization_Segment_Prediction.py:233-305)."""
+    from mmr_tpu.cli.visualize import save_architecture_diagram
+
+    trainer, _, _, _, _ = smoke_run
+    out = save_architecture_diagram(trainer, tmp_path)
+    assert out.exists() and out.stat().st_size > 1000
