@@ -80,8 +80,11 @@ def main():
                            preprocess=pre)
 
     rng = np.random.RandomState(0)
-    imgs = rng.rand(1, batch, *hw, 3).astype(np.float32)
-    masks = rng.randint(0, classes, (1, batch, *hw)).astype(np.int32)
+    # compact-transfer contract (uint8 stores, data/patch_dataset.py): uint8
+    # images + uint8 masks; the step takes the u8-native augment fast path
+    # (warp gathers on raw bytes, normalize folded after the warp)
+    imgs = rng.randint(0, 256, (1, batch, *hw, 3)).astype(np.uint8)
+    masks = rng.randint(0, classes, (1, batch, *hw)).astype(np.uint8)
     d_imgs, d_masks = shard_batch(mesh, (imgs, masks), axis=1)
 
     # warmup: compile + 3 steps, hard host sync

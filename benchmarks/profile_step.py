@@ -46,8 +46,9 @@ def main():
                            preprocess=pre)
 
     rng = np.random.RandomState(0)
-    imgs = rng.rand(1, batch, *hw, 3).astype(np.float32)
-    masks = rng.randint(0, classes, (1, batch, *hw)).astype(np.int32)
+    # compact-transfer contract (match bench.py): u8 images + u8 masks
+    imgs = rng.randint(0, 256, (1, batch, *hw, 3)).astype(np.uint8)
+    masks = rng.randint(0, classes, (1, batch, *hw)).astype(np.uint8)
     d_imgs, d_masks = shard_batch(mesh, (imgs, masks), axis=1)
 
     for i in range(2):  # compile + warm

@@ -180,21 +180,44 @@ def _affine_batch_shared(images, masks, angle, scale, out_hw):
     cx = (iw - ow) // 2 + (ow - 1) / 2.0
     sy = (gy * ca - gx * sa) * scale + cy
     sx = (gy * sa + gx * ca) * scale + cx
-    coords = jnp.stack([sy, sx])
     # bf16 pixel gathers: halves the ~100 MB/corner bilinear traffic; the
     # images are 8-bit-origin so bf16 sampling noise (~3e-3) is far below
-    # the augmentation's own intensity jitter. Interpolation weights stay
-    # f32 via the f32 coords.
+    # the augmentation's own intensity jitter. The manual take-based corner
+    # formulation (same math as map_coordinates(order=1, mode='constant'):
+    # OOB corners contribute 0 via the effective weights) lowers to gathers
+    # measured 2.2x faster than map_coordinates' on the bench chip.
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy, fx = sy - y0, sx - x0
+    y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
     flat = images.astype(jnp.bfloat16).transpose(0, 3, 1, 2).reshape(
-        b * c, ih, iw)
-    warped = jax.vmap(
-        lambda ch: jax.scipy.ndimage.map_coordinates(ch, coords, order=1, mode="constant"),
-    )(flat).astype(images.dtype).reshape(b, c, oh, ow).transpose(0, 2, 3, 1)
-    masks_w = jax.vmap(
-        lambda mhw: jax.scipy.ndimage.map_coordinates(
-            mhw.astype(jnp.float32), coords, order=0, mode="constant"),
-    )(masks).astype(masks.dtype)
-    return warped, masks_w
+        b * c, ih * iw)
+    acc = jnp.zeros((b * c, oh * ow), jnp.bfloat16)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yc, xc = y0i + dy, x0i + dx
+            wgt = (fy if dy else 1.0 - fy) * (fx if dx else 1.0 - fx)
+            w_eff = jnp.where((yc >= 0) & (yc < ih) & (xc >= 0) & (xc < iw),
+                              wgt, 0.0)
+            idx = (jnp.clip(yc, 0, ih - 1) * iw
+                   + jnp.clip(xc, 0, iw - 1)).reshape(-1)
+            acc = acc + jnp.take(flat, idx, axis=1) \
+                * w_eff.reshape(-1).astype(jnp.bfloat16)[None]
+    warped = acc.astype(images.dtype).reshape(b, c, oh, ow).transpose(
+        0, 2, 3, 1)
+
+    yn = jnp.round(sy).astype(jnp.int32)
+    xn = jnp.round(sx).astype(jnp.int32)
+    inb_n = (yn >= 0) & (yn < ih) & (xn >= 0) & (xn < iw)
+    idxn = (jnp.clip(yn, 0, ih - 1) * iw
+            + jnp.clip(xn, 0, iw - 1)).reshape(-1)
+    # int32 gathers hit a slow lowering on this backend — route them via f32
+    # (exact for class ids), 1-byte masks gather natively
+    msrc = masks if masks.dtype.itemsize == 1 else masks.astype(jnp.float32)
+    masks_w = jnp.take(msrc.reshape(b, ih * iw), idxn, axis=1)
+    masks_w = jnp.where(inb_n.reshape(-1)[None, :], masks_w,
+                        jnp.zeros((), msrc.dtype))
+    return warped, masks_w.astype(masks.dtype).reshape(b, oh, ow)
 
 
 def _center_crop(images, masks, out_hw):
@@ -297,10 +320,11 @@ def _affine_batch_shared_u8(images, masks, angle, scale, out_hw):
     inb_n = (yn >= 0) & (yn < ih) & (xn >= 0) & (xn < iw)
     idxn = (jnp.clip(yn, 0, ih - 1) * iw
             + jnp.clip(xn, 0, iw - 1)).reshape(-1)
-    mw = jnp.take(masks.reshape(b, ih * iw), idxn, axis=1)
-    mw = jnp.where(inb_n.reshape(-1)[None, :], mw,
-                   jnp.zeros((), masks.dtype)).reshape(b, oh, ow)
-    return warped, wsum, mw
+    # 1-byte masks gather natively; int32 routes via f32 (slow int lowering)
+    msrc = masks if masks.dtype.itemsize == 1 else masks.astype(jnp.float32)
+    mw = jnp.take(msrc.reshape(b, ih * iw), idxn, axis=1)
+    mw = jnp.where(inb_n.reshape(-1)[None, :], mw, jnp.zeros((), msrc.dtype))
+    return warped, wsum, mw.astype(masks.dtype).reshape(b, oh, ow)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mean", "std"))
