@@ -92,18 +92,19 @@ class UnetDecoderModel(nn.Module, _EncoderMixin):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False, labels=None):
+    def __call__(self, x, train: bool = False, labels=None,
+                 with_conf: bool = True):
         feats = self._encode(x, train)  # [f1(s2) .. f5(s32)], f1 may be None
         skips = feats[:-1][::-1] + [None]  # [f4, f3, f2, f1, None]
         y = feats[-1]
         if self.packed:
-            return self._packed(y, skips, train, labels)
+            return self._packed(y, skips, train, labels, with_conf)
         for i, ch in enumerate(self.decoder_channels):
             y = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(
                 y, [skips[i]] if skips[i] is not None else None, train)
         return SegmentationHead(self.num_classes, dtype=self.dtype, name="head")(y)
 
-    def _packed(self, y, skips, train, labels=None):
+    def _packed(self, y, skips, train, labels=None, with_conf=True):
         """smp-Unet chain in the packed dataflow: each block is two fused
         multi-input kernels (lazy ×2-upsampled main input + packed skip,
         deferred BN+ReLU); coarse rows stay on XLA. With ``labels`` the head
@@ -153,9 +154,11 @@ class UnetDecoderModel(nn.Module, _EncoderMixin):
         if isinstance(y, PackedT):
             if labels is not None:
                 spec = pc.HeadLossSpec(geom=y.geom, l_in=y.geom.lanes(y.c),
-                                       nc=self.num_classes)
+                                       nc=self.num_classes,
+                                       with_conf=with_conf)
                 yl, stats, conf = PackedHeadLoss(
-                    self.num_classes, name="head")(y, labels, train)
+                    self.num_classes, name="head")(y, labels, train,
+                                                    with_conf=with_conf)
                 return {"stats": stats, "conf": conf, "spec": spec,
                         "n_pixels": labels.shape[0] * y.geom.h * y.geom.w,
                         "logits_packed": yl}
@@ -227,7 +230,8 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False, labels=None):
+    def __call__(self, x, train: bool = False, labels=None,
+                 with_conf: bool = True):
         assert not self.packed_frontend or self.packed, \
             "packed_frontend requires packed=True"
         feats = self._encode(x, train)
@@ -237,7 +241,8 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         enc_ch = tuple(getattr(f, "c", None) or f.shape[-1] for f in feats)
         plan = smp_unetpp_plan(enc_ch, self.decoder_channels)
         if self.packed:
-            return self._packed_decoder(fr, depth, plan, train, labels)
+            return self._packed_decoder(fr, depth, plan, train, labels,
+                                        with_conf)
 
         dense: dict[tuple[int, int], jnp.ndarray] = {}
         for layer in range(depth):
@@ -274,7 +279,8 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
                 return jnp.mean(jnp.stack(outs), axis=0)
         return logits
 
-    def _packed_decoder(self, fr, depth, plan, train, labels=None):
+    def _packed_decoder(self, fr, depth, plan, train, labels=None,
+                        with_conf=True):
         """Same smp topology; fine-resolution nodes run as packed fused
         kernels, coarse nodes stay on XLA (tiny tensors, big channel
         counts). One shared geometry per output scale (all ``x_*_l`` share
@@ -383,9 +389,11 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
             if labels is not None:
                 spec = pc.HeadLossSpec(geom=top.geom,
                                        l_in=top.geom.lanes(top.c),
-                                       nc=self.num_classes)
+                                       nc=self.num_classes,
+                                       with_conf=with_conf)
                 y, stats, conf = PackedHeadLoss(
-                    self.num_classes, name="head")(top, labels, train)
+                    self.num_classes, name="head")(top, labels, train,
+                                                    with_conf=with_conf)
                 return {"stats": stats, "conf": conf, "spec": spec,
                         "n_pixels": labels.shape[0] * top.geom.h
                         * top.geom.w, "logits_packed": y}

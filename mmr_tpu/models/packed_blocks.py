@@ -223,12 +223,14 @@ class PackedHeadLoss(nn.Module):
     out_ch: int
 
     @nn.compact
-    def __call__(self, t: PackedT, masks, train: bool = False):
+    def __call__(self, t: PackedT, masks, train: bool = False,
+                 with_conf: bool = True):
         g = t.geom
         kernel, b = _Kernel3x3(t.c, self.out_ch, use_bias=True,
                                name="conv")()
         cop = g.cp(self.out_ch)
-        spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(t.c), nc=self.out_ch)
+        spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(t.c), nc=self.out_ch,
+                               with_conf=with_conf)
         if self.is_initializing():
             n_b = t.data.shape[0]
             return (jnp.zeros((n_b, g.h + 2, g.wbp, spec.lo), jnp.bfloat16),

@@ -1667,11 +1667,17 @@ def conv3x3_s2_packed_ref(xp, taps, g_src: RowGeom, g_dst: RowGeom):
 
 @dataclasses.dataclass(frozen=True)
 class HeadLossSpec:
-    """Static config of the fused head+loss op (hashable)."""
+    """Static config of the fused head+loss op (hashable).
+
+    ``with_conf=False`` drops the in-kernel argmax scan + confusion partials
+    (the reference's train step logs loss only — ``Main_MMR_SegModel.py:712``
+    computes metrics at validation; the scan's nc per-class broadcast matmuls
+    are then replaced by the ~log2(cp)-matmul group-max stabilizer)."""
 
     geom: RowGeom
     l_in: int            # input lanes (the pre-head feature row)
     nc: int              # number of classes
+    with_conf: bool = True
 
     @property
     def lo(self) -> int:
@@ -1685,7 +1691,8 @@ class HeadLossSpec:
         g = self.geom
         tiles = 2 * (th + 2) * g.wbp * (self.l_in + self.lo) * 2
         work = 4 * th * g.wbp * self.lo * 4
-        tees = 9 * self.l_in * self.lo * 2 + (self.nc + 1) * self.lo ** 2 * 4
+        n_e = self.nc if self.with_conf else 1
+        tees = 9 * self.l_in * self.lo * 2 + (n_e + 1) * self.lo ** 2 * 4
         stage = 2 * th * g.wbp * max(self.l_in, self.lo) * 2
         if backward:
             tiles += 2 * (th + 2) * g.wbp * self.lo * 2  # logits tiles
@@ -1776,7 +1783,7 @@ def _head_softmax(acc, labs, sgrp, cp, nc, valid=None, m=None):
 def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
                           emats, y_hbm, stats_ref, conf_ref, xt, lt, ystage,
                           zstage, insem, outsem, halosem, *, th, n_i, geom,
-                          li, lo, cp, nc, n_b):
+                          li, lo, cp, nc, n_b, with_conf):
     wb, wbp = geom.wb, geom.wbp
     b, i = pl.program_id(0), pl.program_id(1)
     k = b * n_i + i
@@ -1834,14 +1841,19 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
     labs = lt[k % 2][1:1 + th, 1:1 + wb, :].astype(jnp.float32)
     clsv, vmask = _lane_class_masks((th, wb, lo), cp, nc)
     accm = jnp.where(vmask, acc, -1e30)
-    bv = jnp.full((th, wb, lo), -3e30, jnp.float32)
-    bidx = jnp.zeros((th, wb, lo), jnp.float32)
-    for c in range(nc):
-        vc = jax.lax.dot_general(accm, emats[c], (((2,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        take = vc > bv
-        bv = jnp.where(take, vc, bv)
-        bidx = jnp.where(take, float(c), bidx)
+    if with_conf:
+        bv = jnp.full((th, wb, lo), -3e30, jnp.float32)
+        bidx = jnp.zeros((th, wb, lo), jnp.float32)
+        for c in range(nc):
+            vc = jax.lax.dot_general(accm, emats[c], (((2,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            take = vc > bv
+            bv = jnp.where(take, vc, bv)
+            bidx = jnp.where(take, float(c), bidx)
+    else:
+        # no confusion wanted: the cheaper log2(cp)-matmul butterfly provides
+        # the per-pixel(-group) softmax stabilizer
+        bv = _group_max(accm, cp)
 
     # ---- loss statistics on the interior ----
     z, sums, probs, onehot, m, _ = _head_softmax(acc, labs, sgrp, cp, nc,
@@ -1853,10 +1865,11 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
     stats_ref[0, 2, :] += jnp.sum(probs * onehot, axis=(0, 1))
     stats_ref[0, 3, :] += jnp.sum(ce, axis=(0, 1))
 
-    pred_oh = jnp.where(jnp.logical_and(bidx == clsv, vmask), 1.0, 0.0)
-    conf_ref[:, :] += jax.lax.dot_general(
-        pred_oh.reshape(th * wb, lo), onehot.reshape(th * wb, lo),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if with_conf:
+        pred_oh = jnp.where(jnp.logical_and(bidx == clsv, vmask), 1.0, 0.0)
+        conf_ref[:, :] += jax.lax.dot_general(
+            pred_oh.reshape(th * wb, lo), onehot.reshape(th * wb, lo),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     slot = k % 2
 
@@ -1987,10 +2000,13 @@ def _head_loss_fwd_call(spec: HeadLossSpec, x, tee, pro, bias, labels):
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     sgrp, emats = _loss_consts_np(g.p, spec.cp, spec.nc)
+    if not spec.with_conf:  # argmax scan skipped — ship a dummy E stack
+        emats = emats[:1] * 0.0
+    n_e = emats.shape[0]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     in_specs += [const((3, 3, spec.l_in, spec.lo)), const((2, spec.l_in)),
                  const((1, spec.lo)), const((spec.lo, spec.lo)),
-                 const((spec.nc, spec.lo, spec.lo))]
+                 const((n_e, spec.lo, spec.lo))]
     args = [x, labels, tee.astype(jnp.bfloat16), pro.astype(jnp.float32),
             bias.astype(jnp.float32), jnp.asarray(sgrp), jnp.asarray(emats)]
     out_shape = [
@@ -2016,7 +2032,7 @@ def _head_loss_fwd_call(spec: HeadLossSpec, x, tee, pro, bias, labels):
     return pl.pallas_call(
         functools.partial(_head_loss_fwd_kernel, th=th, n_i=n_i, geom=g,
                           li=spec.l_in, lo=spec.lo, cp=spec.cp, nc=spec.nc,
-                          n_b=n_b),
+                          n_b=n_b, with_conf=spec.with_conf),
         grid=(n_b, n_i),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         scratch_shapes=scratch,

@@ -81,7 +81,10 @@ def make_train_step(
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if batch_stats else []
-        kw = {"labels": masks} if fused_head_loss else {}
+        # with_conf=False drops the in-kernel argmax/confusion scan (the
+        # reference's train step logs loss only; metrics run at validation)
+        kw = ({"labels": masks, "with_conf": compute_iou}
+              if fused_head_loss else {})
         out = model.apply(variables, images, train=True,
                           rngs={"dropout": rng}, mutable=mutable, **kw)
         res, new_stats = (out if mutable else (out, {}))

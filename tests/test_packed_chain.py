@@ -641,6 +641,47 @@ class TestFusedHeadLoss:
         psum = float(stats[:, 0, :].sum())
         assert psum == pytest.approx(B * g.h * g.w, rel=1e-3)
 
+    def test_with_conf_false_same_loss_zero_conf(self, rng):
+        """with_conf=False drops the in-kernel argmax/confusion scan (the
+        cheaper group-max butterfly stabilizes the softmax instead): loss
+        and every gradient must be unchanged, conf must come back zero.
+        Mirrors the reference's loss-only surfaces (metrics at validation,
+        ``Main_MMR_SegModel.py:712`` computes IoU separately from loss)."""
+        g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng)
+        cp = g.cp(CIN)
+        pad = cp - CIN
+        pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g.p),
+                         jnp.tile(jnp.pad(t, (0, pad)), g.p)])
+        tee = _toeplitz(w3, g.p, cp, g.cp(NC))
+        bias_l = pc.bias_lanes(bias, g.p, g.cp(NC))
+        lab = pc.pack_labels(masks, g, NC)
+
+        def run(with_conf):
+            spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(CIN), nc=NC,
+                                   with_conf=with_conf)
+
+            def f(x, w3t, s2, t2, b2):
+                pro2 = jnp.stack([jnp.tile(jnp.pad(s2, (0, pad)), g.p),
+                                  jnp.tile(jnp.pad(t2, (0, pad)), g.p)])
+                _, stats, conf = pc.fused_head_loss(
+                    spec, pc.to_packed(x, g), w3t, pro2,
+                    pc.bias_lanes(b2, g.p, g.cp(NC)), lab)
+                loss, conf_c = pc.assemble_dice_ce(spec, stats, conf,
+                                                   B * g.h * g.w)
+                return loss, conf_c
+
+            return jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4),
+                                      has_aux=True)(x, tee, s, t, bias)
+
+        (l1, c1), g1 = run(True)
+        (l0, c0), g0 = run(False)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        assert float(jnp.abs(c0).max()) == 0.0
+        assert float(jnp.abs(c1).sum()) > 0.0
+        for n, a, b in zip(["dx", "dw", "dscale", "dshift", "dbias"], g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=n)
+
     def test_fused_head_loss_model_path(self, rng):
         """model.apply(..., labels=masks) routes the packed head through the
         fused loss kernel; assembled loss matches dice_ce_loss on the same
