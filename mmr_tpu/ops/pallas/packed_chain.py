@@ -1669,10 +1669,18 @@ def conv3x3_s2_packed_ref(xp, taps, g_src: RowGeom, g_dst: RowGeom):
 class HeadLossSpec:
     """Static config of the fused head+loss op (hashable).
 
-    ``with_conf=False`` drops the in-kernel argmax scan + confusion partials
-    (the reference's train step logs loss only — ``Main_MMR_SegModel.py:712``
-    computes metrics at validation; the scan's nc per-class broadcast matmuls
-    are then replaced by the ~log2(cp)-matmul group-max stabilizer)."""
+    ``with_conf=False`` drops the in-kernel argmax index tracking + confusion
+    partials (for consumers that log loss only; the reference's train step
+    does compute a per-batch IoU — ``Main_MMR_SegModel.py:712`` calls
+    ``calculate_iou`` every step — so the production path keeps it on). The
+    argmax/max itself is a bit-exact lane-roll butterfly either way
+    (:func:`_argmax_roll`).
+
+    The fwd writes the packed logits surface and the bwd re-reads it: a
+    no-logits variant (bwd recompute from th+4-row x tiles) was built and
+    measured 2.7 ms/iter SLOWER at 512² b32 — both kernels are MXU-bound,
+    so the ~600 MB y round-trip is DMA-hidden while the 9 recompute matmuls
+    are pure added MXU time. Kept as a ledger entry, not a knob."""
 
     geom: RowGeom
     l_in: int            # input lanes (the pre-head feature row)
@@ -1691,8 +1699,7 @@ class HeadLossSpec:
         g = self.geom
         tiles = 2 * (th + 2) * g.wbp * (self.l_in + self.lo) * 2
         work = 4 * th * g.wbp * self.lo * 4
-        n_e = self.nc if self.with_conf else 1
-        tees = 9 * self.l_in * self.lo * 2 + (n_e + 1) * self.lo ** 2 * 4
+        tees = 9 * self.l_in * self.lo * 2 + self.lo ** 2 * 4
         stage = 2 * th * g.wbp * max(self.l_in, self.lo) * 2
         if backward:
             tiles += 2 * (th + 2) * g.wbp * self.lo * 2  # logits tiles
@@ -1706,19 +1713,18 @@ class HeadLossSpec:
 
 
 @functools.lru_cache(maxsize=None)
-def _loss_consts_np(p: int, cp: int, nc: int):
-    """(S, E): S (L, L) group-sum broadcast (lane (q,i) sums into every lane
-    of group q); E (nc, L, L) per-class broadcast (lane (q,c) to group q)."""
+def _loss_consts_np(p: int, cp: int):
+    """S: (L, L) group-sum broadcast matrix (lane (q,i) sums into every lane
+    of group q). The exponential sums are NOT idempotent, so the in-group
+    broadcast stays a single MXU matmul (a roll butterfly is only exact for
+    power-of-two cp); max/argmax use :func:`_argmax_roll` instead."""
     import numpy as np
 
     l = p * cp
     s = np.zeros((l, l), np.float32)
-    e = np.zeros((nc, l, l), np.float32)
     for q in range(p):
         s[q * cp:(q + 1) * cp, q * cp:(q + 1) * cp] = 1.0
-        for c in range(nc):
-            e[c, q * cp + c, q * cp:(q + 1) * cp] = 1.0
-    return s, e
+    return s
 
 
 def _lane_class_masks(shape, cp: int, nc: int):
@@ -1728,12 +1734,28 @@ def _lane_class_masks(shape, cp: int, nc: int):
     return cls.astype(jnp.float32), cls < nc
 
 
+def _in_group_shift(t, cp, k):
+    """Lane j = q·cp+i reads lane q·cp+(i+k)%cp: an in-group cyclic shift
+    built from two full-lane ``pltpu.roll``s (bit-exact VPU rotations; f32 is
+    32-bit so roll is legal) selected on whether i+k wraps the group."""
+    l = t.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+    wrapless = lane % cp < cp - k
+    ax = t.ndim - 1
+    return jnp.where(wrapless, pltpu.roll(t, l - k, ax),
+                     pltpu.roll(t, cp - k, ax))
+
+
 def _group_max(x, cp):
     """Per-pixel(-group) max over the cp class lanes, broadcast back to every
     lane of its group, via a max butterfly of in-group cyclic lane shifts
     (ceil(log2(cp)) permutation matmuls). MXU rounding (f32 dot_general
     ≈ bf16) only perturbs the shifted copies by ~1 ulp — irrelevant for
-    softmax stabilization, which needs any value within ~80 of the true max."""
+    softmax stabilization, which needs any value within ~80 of the true max.
+    NOTE measured on HW: a roll-based variant of this max-only butterfly
+    compiles to a ~18× slower program (24 ms vs 1.3 ms head fwd at 512²
+    b32) even though the (value, index) roll butterfly in
+    :func:`_argmax_roll` is fast — keep the matmul form here."""
     l = x.shape[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
@@ -1749,6 +1771,28 @@ def _group_max(x, cp):
         m = jnp.maximum(m, shifted)
         k *= 2
     return m
+
+
+def _argmax_roll(x, cp, clsv):
+    """Exact per-group ``(max, first-argmax)`` over the cp class lanes,
+    broadcast to every lane of the group, via a (value, index) max butterfly
+    of in-group cyclic lane rolls. The comparator takes the larger value and
+    breaks ties toward the smaller class index — exactly torch's
+    ``argmax(dim=1)`` first-max semantics (the reference's prediction surface,
+    ``Main_MMR_SegModel.py:709``). Rolls are bit-exact VPU rotations, so
+    unlike an MXU-matmul broadcast there is no rounding to corrupt the
+    comparisons; the returned max doubles as the per-pixel softmax
+    stabilizer."""
+    m, idx = x, clsv
+    k = 1
+    while k < cp:
+        sm = _in_group_shift(m, cp, k)
+        sidx = _in_group_shift(idx, cp, k)
+        take = jnp.logical_or(sm > m, jnp.logical_and(sm == m, sidx < idx))
+        m = jnp.where(take, sm, m)
+        idx = jnp.where(take, sidx, idx)
+        k *= 2
+    return m, idx
 
 
 def _head_softmax(acc, labs, sgrp, cp, nc, valid=None, m=None):
@@ -1781,7 +1825,7 @@ def _head_softmax(acc, labs, sgrp, cp, nc, valid=None, m=None):
 
 
 def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
-                          emats, y_hbm, stats_ref, conf_ref, xt, lt, ystage,
+                          y_hbm, stats_ref, conf_ref, xt, lt, ystage,
                           zstage, insem, outsem, halosem, *, th, n_i, geom,
                           li, lo, cp, nc, n_b, with_conf):
     wb, wbp = geom.wb, geom.wbp
@@ -1829,30 +1873,18 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
                 (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc = acc + bias_ref[0][None, None, :]
 
-    # ---- argmax scan (doubles as the softmax stabilizer) ----
-    # track the best class INDEX during the scan: the per-class broadcast
-    # matmul (E_c) rounds on the MXU, so an equality test against the
-    # broadcast max silently drops pixels on hardware — comparing the
-    # broadcasts against each other is self-consistent and gives exact
-    # first-max argmax semantics. The running max ``bv`` ends as the
-    # per-pixel(-group) max broadcast over each group's lanes — exactly the
-    # per-pixel stabilizer _head_softmax needs, for free.
+    # ---- argmax butterfly (doubles as the softmax stabilizer) ----
+    # bit-exact roll butterfly instead of nc per-class MXU broadcast matmuls:
+    # ceil(log2(cp)) VPU stages give the exact first-max class index and the
+    # per-pixel(-group) max — the stabilizer _head_softmax needs — for free.
     dma(lab_hbm, lt, 1, k % 2, k).wait()
     labs = lt[k % 2][1:1 + th, 1:1 + wb, :].astype(jnp.float32)
     clsv, vmask = _lane_class_masks((th, wb, lo), cp, nc)
     accm = jnp.where(vmask, acc, -1e30)
     if with_conf:
-        bv = jnp.full((th, wb, lo), -3e30, jnp.float32)
-        bidx = jnp.zeros((th, wb, lo), jnp.float32)
-        for c in range(nc):
-            vc = jax.lax.dot_general(accm, emats[c], (((2,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            take = vc > bv
-            bv = jnp.where(take, vc, bv)
-            bidx = jnp.where(take, float(c), bidx)
+        bv, bidx = _argmax_roll(accm, cp, clsv)
     else:
-        # no confusion wanted: the cheaper log2(cp)-matmul butterfly provides
-        # the per-pixel(-group) softmax stabilizer
+        # no confusion wanted: max only (no index tracking)
         bv = _group_max(accm, cp)
 
     # ---- loss statistics on the interior ----
@@ -1896,7 +1928,13 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
                           halosem, *, th, n_i, geom, li, lo, cp, nc, n_b):
     """Synthesizes d(logits) in VMEM from the per-(b, lane) loss cotangents
     ``dst_ref`` (4, lo): [dΣprobs, dΣonehot(unused), dΣ(probs·onehot), dce],
-    then runs the standard single-input backward (dT, dx, dpro, dbias)."""
+    then runs the standard single-input backward (dT, dx, dpro, dbias).
+
+    The logits tile is RE-READ from the fwd's y surface, not recomputed: a
+    recompute variant (extended x tiles + the fwd conv in VMEM) measured
+    2.7 ms SLOWER per iteration at 512² b32 — this kernel is MXU-bound, so
+    the y round-trip it would save is already DMA-hidden while the 9 extra
+    recompute matmuls are not (docs/PERF.md round-3 ledger)."""
     wb, wbp = geom.wb, geom.wbp
     b, i = pl.program_id(0), pl.program_id(1)
     k = b * n_i + i
@@ -1999,16 +2037,12 @@ def _head_loss_fwd_call(spec: HeadLossSpec, x, tee, pro, bias, labels):
     n_b = x.shape[0]
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    sgrp, emats = _loss_consts_np(g.p, spec.cp, spec.nc)
-    if not spec.with_conf:  # argmax scan skipped — ship a dummy E stack
-        emats = emats[:1] * 0.0
-    n_e = emats.shape[0]
+    sgrp = _loss_consts_np(g.p, spec.cp)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     in_specs += [const((3, 3, spec.l_in, spec.lo)), const((2, spec.l_in)),
-                 const((1, spec.lo)), const((spec.lo, spec.lo)),
-                 const((n_e, spec.lo, spec.lo))]
+                 const((1, spec.lo)), const((spec.lo, spec.lo))]
     args = [x, labels, tee.astype(jnp.bfloat16), pro.astype(jnp.float32),
-            bias.astype(jnp.float32), jnp.asarray(sgrp), jnp.asarray(emats)]
+            bias.astype(jnp.float32), jnp.asarray(sgrp)]
     out_shape = [
         jax.ShapeDtypeStruct((n_b, g.h + 2, g.wbp, spec.lo), jnp.bfloat16),
         jax.ShapeDtypeStruct((n_b, 4, spec.lo), jnp.float32),
@@ -2049,7 +2083,7 @@ def _head_loss_bwd_call(spec: HeadLossSpec, x, tee, pro, y, labels, dstats):
     n_b = x.shape[0]
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    sgrp, _ = _loss_consts_np(g.p, spec.cp, spec.nc)
+    sgrp = _loss_consts_np(g.p, spec.cp)
     tts = jnp.flip(tee, axis=(0, 1)).swapaxes(2, 3).astype(jnp.bfloat16)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     in_specs += [const((3, 3, spec.lo, spec.l_in)),

@@ -81,8 +81,9 @@ def make_train_step(
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if batch_stats else []
-        # with_conf=False drops the in-kernel argmax/confusion scan (the
-        # reference's train step logs loss only; metrics run at validation)
+        # with_conf=False drops the in-kernel argmax/confusion tracking; the
+        # reference-faithful default keeps it on (Main_MMR_SegModel.py:712
+        # computes a per-batch IoU every train step)
         kw = ({"labels": masks, "with_conf": compute_iou}
               if fused_head_loss else {})
         out = model.apply(variables, images, train=True,

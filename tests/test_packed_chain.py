@@ -550,8 +550,8 @@ class TestFusedHeadLoss:
     materializing. Reference: MONAI DiceCELoss(softmax=True) + smp macro IoU
     (``Main_MMR_SegModel.py:578,709,712``)."""
 
-    def _setup(self, rng):
-        g = pc.RowGeom(16, 32, 4, 8, 16)
+    def _setup(self, rng, h: int = 16):
+        g = pc.RowGeom(h, 32, 4, 8, 16)
         B, CIN, NC = 2, 5, 3
         x = jnp.asarray(rng.randn(B, g.h, g.w, CIN).astype(np.float32))
         w3 = jnp.asarray(rng.randn(3, 3, CIN, NC).astype(np.float32) * 0.5)
@@ -561,10 +561,14 @@ class TestFusedHeadLoss:
         masks = jnp.asarray(rng.randint(0, NC, (B, g.h, g.w)))
         return g, B, CIN, NC, x, w3, bias, s, t, masks
 
-    def test_loss_grads_confusion_match_unfused(self, rng):
+    # h=16 -> a single row tile (n_i=1); h=48 -> th=16, n_i=3, exercising
+    # all three bwd x-DMA placements (first / middle / last) of the logits-
+    # recompute backward
+    @pytest.mark.parametrize("h", [16, 48])
+    def test_loss_grads_confusion_match_unfused(self, rng, h):
         from mmr_tpu.losses.dice_ce import dice_ce_loss
 
-        g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng)
+        g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng, h)
         spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(CIN), nc=NC)
         cp = g.cp(CIN)
 
@@ -642,11 +646,12 @@ class TestFusedHeadLoss:
         assert psum == pytest.approx(B * g.h * g.w, rel=1e-3)
 
     def test_with_conf_false_same_loss_zero_conf(self, rng):
-        """with_conf=False drops the in-kernel argmax/confusion scan (the
-        cheaper group-max butterfly stabilizes the softmax instead): loss
-        and every gradient must be unchanged, conf must come back zero.
-        Mirrors the reference's loss-only surfaces (metrics at validation,
-        ``Main_MMR_SegModel.py:712`` computes IoU separately from loss)."""
+        """with_conf=False drops the in-kernel argmax index tracking and
+        confusion partials (the max-only butterfly still stabilizes the
+        softmax): loss and every gradient must be unchanged, conf must come
+        back zero. An off-by-default option — the reference's train step
+        computes per-batch IoU (``Main_MMR_SegModel.py:712``), so the
+        production path keeps with_conf=True."""
         g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng)
         cp = g.cp(CIN)
         pad = cp - CIN
