@@ -161,7 +161,7 @@ class UnetDecoderModel(nn.Module, _EncoderMixin):
                                                     with_conf=with_conf)
                 return {"stats": stats, "conf": conf, "spec": spec,
                         "n_pixels": labels.shape[0] * y.geom.h * y.geom.w,
-                        "logits_packed": yl}
+                        "probs_packed": yl}
             logits = PackedConvBN(self.num_classes, use_bn=False,
                                   name="head")([y], train)
             return logits.unpack().astype(jnp.float32)
@@ -396,7 +396,7 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
                                                     with_conf=with_conf)
                 return {"stats": stats, "conf": conf, "spec": spec,
                         "n_pixels": labels.shape[0] * top.geom.h
-                        * top.geom.w, "logits_packed": y}
+                        * top.geom.w, "probs_packed": y}
             logits = PackedConvBN(self.num_classes, use_bn=False,
                                   name="head")([top], train)
             return logits.unpack().astype(jnp.float32)

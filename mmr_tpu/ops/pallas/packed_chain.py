@@ -111,12 +111,20 @@ def choose_th(h: int, vmem_cost_fn) -> int | None:
 # ------------------------------------------------------------- pack helpers
 
 def to_packed(x, g: RowGeom):
-    """(B,H,W,C) -> packed-halo (B, H+2, wbp, p*cp) bf16."""
+    """(B,H,W,C) -> packed-halo (B, H+2, wbp, p*cp) bf16.
+
+    Pads rows + the W/block extent FIRST (narrow-channel surface) and the
+    lane channels LAST, so the full packed surface is written once — the
+    previous channel-pad-then-block-pad order wrote it twice (two ~200 MB
+    XLA pad passes at the 512² image geometry, visible as pad.0/pad.1 in the
+    step trace)."""
     b, h, w, c = x.shape
     cp = g.cp(c)
-    x = jnp.pad(x.astype(jnp.bfloat16), [(0, 0), (1, 1), (0, 0), (0, cp - c)])
-    x = x.reshape(b, h + 2, g.wb, g.p * cp)
-    return jnp.pad(x, [(0, 0), (0, 0), (1, g.wbp - g.wb - 1), (0, 0)])
+    x = jnp.pad(x.astype(jnp.bfloat16),
+                [(0, 0), (1, 1), (g.p, (g.wbp - g.wb - 1) * g.p), (0, 0)])
+    x = x.reshape(b, h + 2, g.wbp, g.p, c)
+    x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, 0), (0, cp - c)])
+    return x.reshape(b, h + 2, g.wbp, g.p * cp)
 
 
 def from_packed(xp, g: RowGeom, c: int):
@@ -1676,11 +1684,13 @@ class HeadLossSpec:
     argmax/max itself is a bit-exact lane-roll butterfly either way
     (:func:`_argmax_roll`).
 
-    The fwd writes the packed logits surface and the bwd re-reads it: a
-    no-logits variant (bwd recompute from th+4-row x tiles) was built and
-    measured 2.7 ms/iter SLOWER at 512² b32 — both kernels are MXU-bound,
-    so the ~600 MB y round-trip is DMA-hidden while the 9 recompute matmuls
-    are pure added MXU time. Kept as a ledger entry, not a knob."""
+    The fwd writes the packed PROBS surface and the bwd re-reads it (no
+    softmax recompute in the bwd — d(logits) synthesis only needs probs +
+    labels). A no-surface variant (bwd recompute from th+4-row x tiles) was
+    built and measured 2.7 ms/iter SLOWER at 512² b32 — both kernels are
+    MXU-bound, so the ~600 MB y round-trip is DMA-hidden while the 9
+    recompute matmuls are pure added MXU time. Kept as a ledger entry, not
+    a knob."""
 
     geom: RowGeom
     l_in: int            # input lanes (the pre-head feature row)
@@ -1796,7 +1806,8 @@ def _argmax_roll(x, cp, clsv):
 
 
 def _head_softmax(acc, labs, sgrp, cp, nc, valid=None, m=None):
-    """Shared fwd/bwd lane-space softmax pieces on a logits tile.
+    """Fwd-kernel lane-space softmax pieces on a logits tile (the bwd kernel
+    reads the fwd's stored probs and needs none of this).
 
     Stabilized with a PER-PIXEL(-group) max ``m`` — a tile-global max would
     silently underflow every exp() of a pixel whose own logits sit far below
@@ -1909,8 +1920,13 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
     def _():
         _wait_copy(ystage.at[slot], outsem.at[slot])
 
+    # the residual surface stores the PROBABILITIES, not the logits: the bwd
+    # kernel then needs no softmax recompute at all (no exp chain, no
+    # group-max butterfly, no Σexp matmul) — probs ARE the only softmax
+    # quantity its d(logits) synthesis consumes. y is residual/metrics-only
+    # (decoders.py drops it), so the surface's meaning is free to choose.
     ystage[slot] = jnp.pad(
-        acc.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+        probs.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
     pltpu.make_async_copy(
         ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
         outsem.at[slot]).start()
@@ -1930,10 +1946,11 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
     ``dst_ref`` (4, lo): [dΣprobs, dΣonehot(unused), dΣ(probs·onehot), dce],
     then runs the standard single-input backward (dT, dx, dpro, dbias).
 
-    The logits tile is RE-READ from the fwd's y surface, not recomputed: a
-    recompute variant (extended x tiles + the fwd conv in VMEM) measured
-    2.7 ms SLOWER per iteration at 512² b32 — this kernel is MXU-bound, so
-    the y round-trip it would save is already DMA-hidden while the 9 extra
+    The PROBS tile is RE-READ from the fwd's y surface — the fwd stores
+    probabilities, so this kernel does no softmax work at all. A recompute
+    variant (extended x tiles + the fwd conv in VMEM) measured 2.7 ms SLOWER
+    per iteration at 512² b32 — this kernel is MXU-bound, so the y
+    round-trip it would save is already DMA-hidden while the 9 extra
     recompute matmuls are not (docs/PERF.md round-3 ledger)."""
     wb, wbp = geom.wb, geom.wbp
     b, i = pl.program_id(0), pl.program_id(1)
@@ -1977,10 +1994,16 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
     valid = _halo_mask(i, th, wb, wbp, n_i)
     dma(y_hbm, yt, 0, slot, k).wait()
     dma(lab_hbm, lt, 2, slot, k).wait()
-    acc = yt[slot].astype(jnp.float32)            # halo'd logits tile
+    # the fwd stored PROBS on the y surface, so d(logits) synthesis needs no
+    # softmax recompute: probs are read back directly (zeros at class-pad
+    # lanes / pad blocks / image-edge halos — the fwd's masks wrote them so),
+    # and onehot is rebuilt from the labels it reads anyway
+    probs = yt[slot].astype(jnp.float32)          # halo'd probs tile
     labs = lt[slot].astype(jnp.float32)
-    z, sums, probs, onehot, m, _ = _head_softmax(acc, labs, sgrp, cp, nc,
-                                                 valid=valid)
+    clsv, vmask = _lane_class_masks(probs.shape, cp, nc)
+    onehot = jnp.where(
+        jnp.logical_and(labs == clsv, jnp.logical_and(vmask, valid)),
+        1.0, 0.0)
     g_up = dst_ref[0, 0][None, None, :] \
         + dst_ref[0, 2][None, None, :] * onehot
     inner = jax.lax.dot_general(probs * g_up, sgrp[...],
@@ -2128,10 +2151,11 @@ def _head_loss_bwd_call(spec: HeadLossSpec, x, tee, pro, y, labels, dstats):
 def fused_head_loss(spec: HeadLossSpec, x, tee, pro, bias, labels):
     """Head conv + in-kernel loss statistics.
 
-    Returns ``(y_packed, stats, conf)``: packed logits (METRICS-ONLY — their
-    cotangent is ignored; gradients flow exclusively through ``stats``),
-    per-sample per-lane loss stats (n_b, 4, L) = [Σprobs, Σonehot,
-    Σprobs·onehot, Σce], and the (L, L) confusion partials (nondiff)."""
+    Returns ``(y_packed, stats, conf)``: packed softmax PROBS (residual /
+    metrics-only — their cotangent is ignored; gradients flow exclusively
+    through ``stats``), per-sample per-lane loss stats (n_b, 4, L) =
+    [Σprobs, Σonehot, Σprobs·onehot, Σce], and the (L, L) confusion
+    partials (nondiff)."""
     return _head_loss_fwd_call(spec, x, tee, pro, bias, labels)
 
 
@@ -2155,15 +2179,20 @@ fused_head_loss.defvjp(_fused_head_loss_fwd, _fused_head_loss_bwd)
 
 def pack_labels(masks, g: RowGeom, nc: int):
     """(B, H, W) int class ids → (B, H+2, wbp, L) int8 lane-replicated labels
-    matching the logits row's lane layout (halo/pad positions get 127 ≠ any
-    class; int8 halves the label traffic of the fused head loss vs bf16)."""
+    matching the head row's lane layout (halo/pad positions get 127 ≠ any
+    class; int8 halves the label traffic of the fused head loss vs bf16).
+
+    Halo/pad is applied on the NARROW (B, H, W) int8 surface before the lane
+    broadcast, so the full 128-lane label surface is written once (the
+    broadcast-then-pad order re-copied all ~150 MB at 512² b32)."""
     b, h, w = masks.shape
     cp = g.cp(nc)
-    lab = masks.astype(jnp.int8).reshape(b, h, g.wb, g.p)
-    lab = jnp.broadcast_to(lab[..., None], (b, h, g.wb, g.p, cp))
-    lab = lab.reshape(b, h, g.wb, g.p * cp)
-    return jnp.pad(lab, [(0, 0), (1, 1), (1, g.wbp - g.wb - 1), (0, 0)],
-                   constant_values=127)
+    lab = jnp.pad(masks.astype(jnp.int8),
+                  [(0, 0), (1, 1), (g.p, (g.wbp - g.wb - 1) * g.p)],
+                  constant_values=127)
+    lab = lab.reshape(b, h + 2, g.wbp, g.p)
+    lab = jnp.broadcast_to(lab[..., None], (b, h + 2, g.wbp, g.p, cp))
+    return lab.reshape(b, h + 2, g.wbp, g.p * cp)
 
 
 def assemble_dice_ce(spec: HeadLossSpec, stats, conf, n_pixels: int,

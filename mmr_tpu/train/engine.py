@@ -61,9 +61,15 @@ class Trainer:
         if (arch.lower().replace("_", "").replace("+", "p") in
                 ("unetplusplus", "unetpp", "smpunetpp") or
                 arch.lower() in ("unetplusplus", "unet++")) and \
-                jax.default_backend() in ("tpu", "axon"):
+                jax.default_backend() in ("tpu", "axon") and \
+                min(self.patch_size) >= 128:
             # run the UNet++ decoder through the packed-halo fused kernels on
-            # TPU (same params; ops/pallas/packed_chain.py)
+            # TPU (same params; ops/pallas/packed_chain.py). Gated on patch
+            # size: below 128² the deep decoder levels degenerate to 1-2-block
+            # rows where the fused kernels buy nothing, and the ~30 Mosaic
+            # kernel compiles dominate a smoke run (measured: a 32² CLI run
+            # spent >40 min compiling over the dev tunnel; the XLA lowering
+            # compiles in seconds and is equally fast at these sizes)
             model_cfg.setdefault("packed", True)
         self.model, self._weights_hook = create_model(
             arch, encoder_name=self.encoder_name, encoder_weights=encoder_weights,

@@ -604,9 +604,10 @@ class TestFusedHeadLoss:
 
         np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
         np.testing.assert_allclose(np.asarray(cf), np.asarray(cr), atol=2.0)
+        # the y surface stores softmax PROBS (bf16) — residual for the bwd
         got = np.asarray(pc.from_packed(y_p, g, NC), np.float32)
-        np.testing.assert_allclose(got, np.asarray(logits, np.float32),
-                                   atol=0.1, rtol=0.05)
+        want = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
+        np.testing.assert_allclose(got, want, atol=2e-2)
         for n, a, b in zip(["dx", "dw", "dscale", "dshift", "dbias"], gf, gr):
             a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
             err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
