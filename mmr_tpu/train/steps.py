@@ -121,9 +121,7 @@ def make_train_step(
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         rngs = jax.random.split(rng, 2 * n_accum).reshape(n_accum, 2)
 
-        def accum_body(carry, xs):
-            stats, grad_sum, loss_sum, iou_sum = carry
-            img, msk, r = xs
+        def one_micro(stats, img, msk, r):
             if (img.dtype == jnp.uint8 and isinstance(augment, AugmentConfig)
                     and not augment.per_sample_spatial
                     and isinstance(preprocess, Preprocessing)):
@@ -144,18 +142,32 @@ def make_train_step(
                         img, msk = augment_train_batch(r[0], img, msk, augment)
                     else:  # custom callable, e.g. the Path-A pipeline
                         img, msk = augment(r[0], img, msk)
-            (loss, (new_stats, _, iou)), grads = grad_fn(
-                state.params, stats, img, msk, r[1])
-            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
-            return (new_stats, grad_sum, loss_sum + loss, iou_sum + iou), None
+            return grad_fn(state.params, stats, img, msk, r[1])
 
-        zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params)
-        (new_stats, grad_sum, loss_sum, iou_sum), _ = jax.lax.scan(
-            accum_body, (state.batch_stats, zero_grads, jnp.float32(0), jnp.float32(0)),
-            (images, masks, rngs))
+        if n_accum == 1:
+            # no accumulation: call the microbatch directly — the scan's
+            # zeros-init + add + divide passes over the full gradient tree
+            # (~45 MB of pure glue traffic per step) disappear
+            (loss_sum, (new_stats, _, iou_sum)), grads = one_micro(
+                state.batch_stats, images[0], masks[0], rngs[0])
+        else:
+            def accum_body(carry, xs):
+                stats, grad_sum, loss_sum, iou_sum = carry
+                img, msk, r = xs
+                (loss, (new_stats, _, iou)), grads = one_micro(
+                    stats, img, msk, r)
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+                return (new_stats, grad_sum, loss_sum + loss,
+                        iou_sum + iou), None
 
-        grads = jax.tree_util.tree_map(lambda g: g / n_accum, grad_sum)
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params)
+            (new_stats, grad_sum, loss_sum, iou_sum), _ = jax.lax.scan(
+                accum_body,
+                (state.batch_stats, zero_grads, jnp.float32(0),
+                 jnp.float32(0)),
+                (images, masks, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / n_accum, grad_sum)
         if in_shard_map:
             # DP gradient all-reduce (explicit here; GSPMD inserts it
             # implicitly on the unpacked path)
