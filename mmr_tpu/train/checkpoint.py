@@ -24,6 +24,7 @@ from pathlib import Path
 
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -91,7 +92,23 @@ class CheckpointManager:
             raw = self._ckptr.restore(path)
             return template.replace(params=raw["params"],
                                     batch_stats=raw["batch_stats"]), meta
-        state = self._ckptr.restore(path, jax.device_get(template))
+        try:
+            state = self._ckptr.restore(path, jax.device_get(template))
+        except (ValueError, TypeError) as e:
+            # optimizer-state format drift (e.g. resuming a run saved with
+            # the per-leaf optax AdamW chain into the flat-buffer FusedAdamW
+            # template, or vice versa): restore weights + step, reset the
+            # moments — same outcome as the reference's strict=False torch
+            # load when the optimizer state_dict doesn't match
+            import logging
+            logging.getLogger("mmr_tpu").warning(
+                "checkpoint %s has an incompatible optimizer-state format "
+                "(%s); restoring weights and resetting optimizer moments",
+                path, type(e).__name__)
+            raw = self._ckptr.restore(path)
+            state = template.replace(
+                params=raw["params"], batch_stats=raw["batch_stats"],
+                step=jnp.asarray(raw.get("step", template.step)))
         return state, meta
 
     def exists(self, which: str = "last_model") -> bool:

@@ -190,6 +190,31 @@ def test_checkpoint_last_best_policy(tmp_path, rng):
     assert all(jax.tree_util.tree_leaves(chex_tree))
 
 
+def test_checkpoint_opt_format_drift(tmp_path):
+    """Resuming a checkpoint whose optimizer-state format differs from the
+    current optimizer (e.g. a per-leaf optax AdamW run restored into the
+    flat-buffer FusedAdamW template) must restore weights + step and reset
+    the moments instead of raising — the reference's strict=False torch-load
+    tolerance (``ModelTraining.py:308-337``)."""
+    model = TinySeg()
+    vs = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+    old = TrainState.create(
+        vs, build_optimizer("adamw", fused=False)).replace(
+            step=jnp.asarray(7))
+    cm = CheckpointManager(tmp_path)
+    assert cm.save(old, epoch=7, validation_loss=1.0)
+    new_opt = build_optimizer("adamw")  # fused: different opt_state tree
+    template = TrainState.create(vs, new_opt)
+    restored, meta = cm.load(template, "last_model")
+    assert meta["epoch"] == 7
+    assert int(restored.step) == 7
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        old.params, restored.params)
+    assert all(jax.tree_util.tree_leaves(same))
+    assert set(restored.opt_state.keys()) == {"mu", "nu", "count"}
+
+
 def test_best_f1_policy(tmp_path):
     model = TinySeg()
     vs = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
