@@ -42,6 +42,15 @@ class PatchSampler:
         if not store_paths:
             raise ValueError("no stores given")
         self.stores = [VideoStore(p) for p in store_paths]
+        dtypes = {np.dtype(s.image_dtype) for s in self.stores}
+        if len(dtypes) > 1:
+            # the batch buffer takes stores[0]'s dtype — a mixed f32/uint8
+            # dataset (e.g. converted partly before and partly after
+            # switching to --image_dtype uint8) would silently truncate or
+            # mis-scale the minority-dtype stores
+            raise ValueError(
+                f"stores mix image dtypes {sorted(map(str, dtypes))}; "
+                "reconvert the dataset with one --image_dtype")
         self.patch_size = tuple(int(p) for p in patch_size)
         self.initial_patch_size = tuple(int(p) for p in (initial_patch_size or patch_size))
         self.batch_size = int(batch_size)

@@ -154,7 +154,11 @@ class VideoStore:
         """Issue the image+mask window reads as tensorstore FUTURES (decode
         runs on tensorstore's C++ thread pool, fully parallel across a
         batch's windows — the Python-thread read path serializes on per-call
-        latency). Returns ``finish() -> (img_hwc_f32, mask_hw_u8)``."""
+        latency). Returns ``finish() -> (img_hwc, mask_hw_u8)`` where the
+        image keeps the STORE dtype — uint8 0..255 for compact stores, f32
+        [0,1] for reference-schema stores (unlike :meth:`read_image_window`,
+        which converts to f32 [0,1]; the train/eval steps divide uint8
+        batches by 255 on device)."""
         from mmr_tpu.ops.padcrop import assemble_window, window_slices
 
         spatial = self.shape[1:]

@@ -51,15 +51,13 @@ def down_geom(g: pc.RowGeom) -> pc.RowGeom:
 
 
 def best_geom(h: int, w: int) -> pc.RowGeom | None:
-    """Largest-p geometry for (h, w) — mirrors the packed decoder's
-    ``choose_geom`` preference so encoder outputs land decoder-native."""
-    for p in (8, 4, 2, 1):
-        if 128 % p or w % p:
-            continue
-        wb = w // p
-        if wb >= 8 and wb % 8 == 0:
-            return pc.RowGeom(h, w, p, wb, pc._round_up(wb + 2, 8))
-    return None
+    """Largest-p geometry for (h, w) — delegates to the packed decoder's
+    ``choose_row_geom`` (no node constraints, no min-hw floor) so the
+    encoder's output geometry tracks the decoder's selection invariants by
+    construction and its features land decoder-native."""
+    from mmr_tpu.models.packed_blocks import choose_row_geom
+
+    return choose_row_geom(h, w, node_chans=(), min_hw=0)
 
 
 class _KParam(nn.Module):

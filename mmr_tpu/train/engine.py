@@ -190,13 +190,17 @@ class Trainer:
                 sl = local_batch_slice(imgs.shape[batch_axis])
                 take = (slice(None),) * batch_axis + (sl,)
                 imgs, masks = imgs[take], masks[take]
-            # transfer compactly: images are k/255 floats, so uint8 is a
-            # lossless 4x smaller copy (the remote-TPU tunnel moves ~0.04
+            # transfer compactly: float images are k/255 values, so uint8 is
+            # a lossless 4x smaller copy (the remote-TPU tunnel moves ~0.04
             # GB/s; real pods also save PCIe); steps convert back on device.
+            # uint8-store batches (compact datasets) are ALREADY raw bytes —
+            # rescaling those would corrupt every pixel (v*255 mod 256).
             # train batches are stacked (n_accum, B, ...) → shard axis 1
+            if imgs.dtype != np.uint8:
+                imgs = np.round(imgs * 255.0).astype(np.uint8)
             return shard_batch(
                 self.mesh,
-                (np.round(imgs * 255.0).astype(np.uint8),
+                (imgs,
                  masks.astype(np.uint8 if int(self.n_classes) <= 255 else np.int32)),
                 axis=batch_axis)
 

@@ -93,7 +93,7 @@ class FusedAdamW:
     scale_by_adam → add_decayed_weights`` (torch AdamW semantics: decay
     decoupled from the moments, still scaled by lr —
     ``Main_MMR_SegModel.py:859-890`` builds torch.optim.AdamW), equivalence-
-    tested against the optax chain in tests/test_core.py. LR-free like
+    tested against the optax chain in tests/test_train.py. LR-free like
     :class:`Optimizer`: the caller scales the direction by -lr (per-epoch LR
     changes never recompile), and ``differential_lr`` folds the reference's
     0.1× non-encoder factor (``ModelTraining.py:375-383``) into a static

@@ -41,9 +41,19 @@ from mmr_tpu.train.state import TrainState
 
 
 def _batch_iou(logits, masks, num_classes):
+    """Per-batch macro IoU (``Main_MMR_SegModel.py:712``). The per-class
+    stats are batch-summed BEFORE the nonlinear safe-divide — and, under a
+    shard_map, psum'd over the data axis first, so the sharded value equals
+    the global-batch value (a pmean of per-shard macro IoUs would not:
+    a class absent on one shard scores zero_division=1.0 there)."""
+    from mmr_tpu.core.mesh import psum_if_sharded
+
     preds = jnp.argmax(logits, axis=-1)
     tp, fp, fn, tn = segmentation_stats(preds, masks, num_classes)
-    return iou_score(tp, fp, fn, tn, reduction="macro")
+    stats = psum_if_sharded(
+        jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0)]))
+    return iou_score(stats[0][None], stats[1][None], stats[2][None],
+                     stats[3][None], reduction="macro")
 
 
 def make_train_step(
@@ -129,7 +139,7 @@ def make_train_step(
                 # on the raw uint8 bytes and the per-channel affine
                 # normalization folds in after the warp — semantically
                 # identical to /255 → preprocess → augment (equivalence-
-                # tested in tests/test_augment.py)
+                # tested in tests/test_augment_u8.py)
                 img, msk = augment_train_batch_u8(
                     r[0], img, msk, augment, preprocess.mean, preprocess.std)
             else:
@@ -231,19 +241,21 @@ def make_eval_step(
         loss = loss_fn(logits, masks)
         preds = jnp.argmax(logits, axis=-1)
         tp, fp, fn, tn = segmentation_stats(preds, masks, num_classes)
+        tpc, fpc, fnc, tnc = tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0)
+        if in_shard_map:
+            # global per-class stats BEFORE the nonlinear IoU divide — the
+            # sharded macro IoU must equal the single-device value (pmean of
+            # per-shard macro IoUs would inflate classes absent on a shard
+            # to zero_division=1.0)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            tpc, fpc, fnc, tnc = (jax.lax.psum(v, DATA_AXIS)
+                                  for v in (tpc, fpc, fnc, tnc))
         metrics = {
             "loss": loss,
-            "iou": iou_score(tp, fp, fn, tn, reduction="macro"),
-            "tp": tp.sum(0), "fp": fp.sum(0), "fn": fn.sum(0),
+            "iou": iou_score(tpc[None], fpc[None], fnc[None], tnc[None],
+                             reduction="macro"),
+            "tp": tpc, "fp": fpc, "fn": fnc,
         }
-        if in_shard_map:
-            metrics = {
-                "loss": jax.lax.pmean(metrics["loss"], DATA_AXIS),
-                "iou": jax.lax.pmean(metrics["iou"], DATA_AXIS),
-                "tp": jax.lax.psum(metrics["tp"], DATA_AXIS),
-                "fp": jax.lax.psum(metrics["fp"], DATA_AXIS),
-                "fn": jax.lax.psum(metrics["fn"], DATA_AXIS),
-            }
         if return_logits:
             metrics["logits"] = logits
         return metrics

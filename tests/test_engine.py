@@ -46,6 +46,49 @@ def smoke_run(tmp_path_factory):
     return trainer, history, results, (train_sampler, val_sampler), config
 
 
+def test_device_batches_uint8_store_passthrough(tmp_path):
+    """uint8-store batches are ALREADY raw bytes: the engine's compact
+    device transfer must pass them through unchanged — the f32-path
+    ``round(x*255)`` rescale applied to uint8 inputs corrupts every pixel
+    (v*255 mod 256 = 256-v)."""
+    from mmr_tpu.train.engine import Trainer
+
+    root = tmp_path / "ds_u8"
+    make_synthetic_dataset(root, n_videos=2, frames_per_video=2,
+                           height=64, width=80, n_classes=2,
+                           patch_size=(32, 32), image_dtype=np.uint8)
+    stores = list_dataset_stores(root)
+    config = get_default_config(2, [32, 32])
+    config.update({"results_path": str(tmp_path / "res"),
+                   "dataset_path": str(root), "patch_size": [32, 32],
+                   "batch_size": 8, "steps_per_epoch": 1,
+                   "val_steps_per_epoch": 1, "precision": "fp32",
+                   "model": {**config["model"], "encoder_weights": None}})
+    trainer = Trainer(config)
+    sampler = PatchSampler(stores, (32, 32), batch_size=8, steps_per_epoch=1)
+    # epoch 0 validation draws epoch_seed = 0*104729 + 2 (engine.py)
+    raw_imgs, _ = next(iter(sampler.epoch(epoch_seed=2)))
+    assert raw_imgs.dtype == np.uint8
+    sampler2 = PatchSampler(stores, (32, 32), batch_size=8, steps_per_epoch=1)
+    d_imgs, _ = next(iter(trainer._device_batches(sampler2, epoch=0,
+                                                  train=False)))
+    got = np.asarray(d_imgs)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, raw_imgs)  # no inversion/rescale
+
+
+def test_mixed_store_dtypes_rejected(tmp_path):
+    a = make_synthetic_dataset(tmp_path / "a", n_videos=1, frames_per_video=2,
+                               height=64, width=80, n_classes=2,
+                               patch_size=(32, 32), image_dtype=np.uint8)
+    b = make_synthetic_dataset(tmp_path / "b", n_videos=1, frames_per_video=2,
+                               height=64, width=80, n_classes=2,
+                               patch_size=(32, 32))
+    stores = list_dataset_stores(a) + list_dataset_stores(b)
+    with pytest.raises(ValueError, match="mix image dtypes"):
+        PatchSampler(stores, (32, 32), batch_size=2, steps_per_epoch=1)
+
+
 def test_engine_trains_and_logs(smoke_run):
     trainer, history, results, _, _ = smoke_run
     assert len(history["epoch"]) == 2
