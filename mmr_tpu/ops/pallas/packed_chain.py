@@ -1680,17 +1680,20 @@ class HeadLossSpec:
     ``with_conf=False`` drops the in-kernel argmax index tracking + confusion
     partials (for consumers that log loss only; the reference's train step
     does compute a per-batch IoU — ``Main_MMR_SegModel.py:712`` calls
-    ``calculate_iou`` every step — so the production path keeps it on). The
-    argmax/max itself is a bit-exact lane-roll butterfly either way
-    (:func:`_argmax_roll`).
+    ``calculate_iou`` every step — so the production path keeps it on).
+    With conf on, the argmax/max is the bit-exact lane-roll butterfly
+    (:func:`_argmax_roll`); with conf off only the max is needed and it
+    comes from the MXU-matmul :func:`_group_max` butterfly (its roll-based
+    variant measured ~18× slower — see that function's NOTE; the ~1-ulp
+    matmul rounding is irrelevant for a softmax stabilizer).
 
-    The fwd writes the packed PROBS surface and the bwd re-reads it (no
-    softmax recompute in the bwd — d(logits) synthesis only needs probs +
-    labels). A no-surface variant (bwd recompute from th+4-row x tiles) was
-    built and measured 2.7 ms/iter SLOWER at 512² b32 — both kernels are
-    MXU-bound, so the ~600 MB y round-trip is DMA-hidden while the 9
-    recompute matmuls are pure added MXU time. Kept as a ledger entry, not
-    a knob."""
+    The fwd writes the packed LOG-prob surface and the bwd re-reads it (no
+    softmax recompute in the bwd — d(logits) synthesis only needs
+    exp(logp) + labels). A no-surface variant (bwd recompute from th+4-row
+    x tiles) was built and measured 2.7 ms/iter SLOWER at 512² b32 — both
+    kernels are MXU-bound, so the ~600 MB y round-trip is DMA-hidden while
+    the 9 recompute matmuls are pure added MXU time. Kept as a ledger
+    entry, not a knob."""
 
     geom: RowGeom
     l_in: int            # input lanes (the pre-head feature row)
@@ -1712,7 +1715,7 @@ class HeadLossSpec:
         tees = 9 * self.l_in * self.lo * 2 + self.lo ** 2 * 4
         stage = 2 * th * g.wbp * max(self.l_in, self.lo) * 2
         if backward:
-            tiles += 2 * (th + 2) * g.wbp * self.lo * 2  # logits tiles
+            tiles += 2 * (th + 2) * g.wbp * self.lo * 2  # log-prob y tiles
             tees += 9 * self.l_in * self.lo * 4          # dT accumulator
         return tiles + work + tees + stage
 
@@ -1805,25 +1808,19 @@ def _argmax_roll(x, cp, clsv):
     return m, idx
 
 
-def _head_softmax(acc, labs, sgrp, cp, nc, valid=None, m=None):
+def _head_softmax(acc, labs, sgrp, cp, nc, m):
     """Fwd-kernel lane-space softmax pieces on a logits tile (the bwd kernel
-    reads the fwd's stored probs and needs none of this).
+    reads the fwd's stored log-probs and needs none of this).
 
-    Stabilized with a PER-PIXEL(-group) max ``m`` — a tile-global max would
-    silently underflow every exp() of a pixel whose own logits sit far below
-    the tile max (large early-training spread), zeroing its Dice/CE stats.
-    The reference (MONAI softmax CE) is per-pixel stabilized. ``m`` may be
-    passed in (the fwd kernel reuses its argmax scan's running max);
-    otherwise it is computed with :func:`_group_max`.
+    Stabilized with the PER-PIXEL(-group) max ``m`` the caller's argmax/max
+    butterfly already produced — a tile-global max would silently underflow
+    every exp() of a pixel whose own logits sit far below the tile max
+    (large early-training spread), zeroing its Dice/CE stats. The reference
+    (MONAI softmax CE) is per-pixel stabilized.
 
-    Returns (z, sums, probs, onehot, m, accm). Invalid lanes (class pad) and
-    — when ``valid`` is given — out-of-image positions are excluded."""
+    Returns (z, sums, probs, onehot, m, accm); class-pad lanes excluded."""
     clsv, vmask = _lane_class_masks(acc.shape, cp, nc)
-    if valid is not None:
-        vmask = jnp.logical_and(vmask, valid)
     accm = jnp.where(vmask, acc, -1e30)
-    if m is None:
-        m = _group_max(accm, cp)
     # clamp the exponent at 0: m is within rounding of the true max for valid
     # lanes, and fully-invalid groups (halo rows) have m = -1e30, where an
     # unclamped exp(acc - m) would manufacture infs even under the vmask
@@ -1920,13 +1917,19 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
     def _():
         _wait_copy(ystage.at[slot], outsem.at[slot])
 
-    # the residual surface stores the PROBABILITIES, not the logits: the bwd
-    # kernel then needs no softmax recompute at all (no exp chain, no
-    # group-max butterfly, no Σexp matmul) — probs ARE the only softmax
-    # quantity its d(logits) synthesis consumes. y is residual/metrics-only
-    # (decoders.py drops it), so the surface's meaning is free to choose.
+    # the residual surface stores the LOG-probabilities (acc − lse, already
+    # in hand, masked to −80 at class-pad lanes): the bwd kernel then needs
+    # no softmax recompute at all — probs = exp(logp), and probs−1 =
+    # expm1(logp). Log space keeps RELATIVE bf16 precision on BOTH tails:
+    # storing probs directly rounds p ∈ (1−2⁻⁹, 1] to exactly 1.0, zeroing
+    # confident-pixel CE gradients late in training; storing logits
+    # quantizes ±2⁻⁹·|logit| BEFORE the f32 softmax (~2% prob error). y is
+    # residual/metrics-only (decoders.py drops it), so the surface's
+    # meaning is free to choose.
+    logp = jnp.where(vmask, jnp.minimum(acc - lse, 0.0), -80.0)
     ystage[slot] = jnp.pad(
-        probs.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+        logp.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)],
+        constant_values=-80.0)
     pltpu.make_async_copy(
         ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
         outsem.at[slot]).start()
@@ -1946,11 +1949,11 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
     ``dst_ref`` (4, lo): [dΣprobs, dΣonehot(unused), dΣ(probs·onehot), dce],
     then runs the standard single-input backward (dT, dx, dpro, dbias).
 
-    The PROBS tile is RE-READ from the fwd's y surface — the fwd stores
-    probabilities, so this kernel does no softmax work at all. A recompute
-    variant (extended x tiles + the fwd conv in VMEM) measured 2.7 ms SLOWER
-    per iteration at 512² b32 — this kernel is MXU-bound, so the y
-    round-trip it would save is already DMA-hidden while the 9 extra
+    The LOG-prob tile is RE-READ from the fwd's y surface — the fwd stores
+    log-probabilities, so this kernel's softmax work is a single exp. A
+    recompute variant (extended x tiles + the fwd conv in VMEM) measured
+    2.7 ms SLOWER per iteration at 512² b32 — this kernel is MXU-bound, so
+    the y round-trip it would save is already DMA-hidden while the 9 extra
     recompute matmuls are not (docs/PERF.md round-3 ledger)."""
     wb, wbp = geom.wb, geom.wbp
     b, i = pl.program_id(0), pl.program_id(1)
@@ -1994,11 +1997,13 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
     valid = _halo_mask(i, th, wb, wbp, n_i)
     dma(y_hbm, yt, 0, slot, k).wait()
     dma(lab_hbm, lt, 2, slot, k).wait()
-    # the fwd stored PROBS on the y surface, so d(logits) synthesis needs no
-    # softmax recompute: probs are read back directly (zeros at class-pad
-    # lanes / pad blocks / image-edge halos — the fwd's masks wrote them so),
-    # and onehot is rebuilt from the labels it reads anyway
-    probs = yt[slot].astype(jnp.float32)          # halo'd probs tile
+    # the fwd stored LOG-probs on the y surface, so d(logits) synthesis
+    # needs no softmax recompute: probs = exp(logp) (class-pad lanes carry
+    # −80 → 0; image-edge halo rows are valid-masked below), probs − onehot
+    # at the label lane is expm1(logp) — exact even when bf16 would round
+    # probs to 1.0 — and onehot is rebuilt from the labels it reads anyway
+    logp = yt[slot].astype(jnp.float32)           # halo'd log-probs tile
+    probs = jnp.exp(logp)
     labs = lt[slot].astype(jnp.float32)
     clsv, vmask = _lane_class_masks(probs.shape, cp, nc)
     onehot = jnp.where(
@@ -2010,7 +2015,8 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
                                 (((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     dacc = probs * (g_up - inner) \
-        + dst_ref[0, 3][None, None, :] * (probs - onehot)
+        + dst_ref[0, 3][None, None, :] \
+        * jnp.where(onehot > 0.0, jnp.expm1(logp), probs)
     dacc = jnp.where(valid, dacc, 0.0)
     dy_bf = dacc.astype(jnp.bfloat16)
     dy_int = dacc[1:1 + th, 1:1 + wb, :]
@@ -2151,7 +2157,7 @@ def _head_loss_bwd_call(spec: HeadLossSpec, x, tee, pro, y, labels, dstats):
 def fused_head_loss(spec: HeadLossSpec, x, tee, pro, bias, labels):
     """Head conv + in-kernel loss statistics.
 
-    Returns ``(y_packed, stats, conf)``: packed softmax PROBS (residual /
+    Returns ``(y_packed, stats, conf)``: packed softmax LOG-probs (residual /
     metrics-only — their cotangent is ignored; gradients flow exclusively
     through ``stats``), per-sample per-lane loss stats (n_b, 4, L) =
     [Σprobs, Σonehot, Σprobs·onehot, Σce], and the (L, L) confusion

@@ -562,8 +562,8 @@ class TestFusedHeadLoss:
         return g, B, CIN, NC, x, w3, bias, s, t, masks
 
     # h=16 -> a single row tile (n_i=1); h=48 -> th=16, n_i=3, exercising
-    # all three bwd x-DMA placements (first / middle / last) of the logits-
-    # recompute backward
+    # the first / middle / last tile positions of the backward (halo rows
+    # of the stored log-prob surface come from neighbor tiles there)
     @pytest.mark.parametrize("h", [16, 48])
     def test_loss_grads_confusion_match_unfused(self, rng, h):
         from mmr_tpu.losses.dice_ce import dice_ce_loss
@@ -604,10 +604,11 @@ class TestFusedHeadLoss:
 
         np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
         np.testing.assert_allclose(np.asarray(cf), np.asarray(cr), atol=2.0)
-        # the y surface stores softmax PROBS (bf16) — residual for the bwd
+        # the y surface stores softmax LOG-probs (bf16) — bwd residual
         got = np.asarray(pc.from_packed(y_p, g, NC), np.float32)
-        want = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
-        np.testing.assert_allclose(got, want, atol=2e-2)
+        want = np.asarray(jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1))
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.02)
         for n, a, b in zip(["dx", "dw", "dscale", "dshift", "dbias"], gf, gr):
             a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
             err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
@@ -645,6 +646,51 @@ class TestFusedHeadLoss:
         # every pixel must contribute probs (sum probs == n_pixels)
         psum = float(stats[:, 0, :].sum())
         assert psum == pytest.approx(B * g.h * g.w, rel=1e-3)
+
+    def test_confident_pixel_ce_grad_survives_bf16(self, rng):
+        """Saturated softmax (p_label → 1): the CE gradient at the label
+        lane is −(1−p) ≈ −1e-4 — a bf16 PROBS residual would round p to
+        exactly 1.0 and zero it. The log-prob surface + expm1 keep its
+        relative precision; gradients must track the unfused f32 oracle."""
+        from mmr_tpu.losses.dice_ce import dice_ce_loss
+
+        g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng)
+        w3 = w3 * 8.0  # logits spread ~±50 → p_label up to 1 − ~1e-9
+        spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(CIN), nc=NC)
+        cp = g.cp(CIN)
+        pad = cp - CIN
+
+        def fused(x, w3, s, t, bias):
+            pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g.p),
+                             jnp.tile(jnp.pad(t, (0, pad)), g.p)])
+            tee = _toeplitz(w3, g.p, cp, g.cp(NC))
+            lab = pc.pack_labels(masks, g, NC)
+            _, stats, conf = pc.fused_head_loss(
+                spec, pc.to_packed(x, g), tee, pro,
+                pc.bias_lanes(bias, g.p, g.cp(NC)), lab)
+            loss, _ = pc.assemble_dice_ce(spec, stats, conf, B * g.h * g.w)
+            return loss
+
+        def unfused(x, w3, s, t, bias):
+            a = jnp.maximum(
+                x.astype(jnp.bfloat16).astype(jnp.float32) * s + t, 0.0)
+            logits = ref_conv(a.astype(jnp.bfloat16), w3) + bias
+            return dice_ce_loss(logits, masks)
+
+        # make every pixel's label its predicted class → fully saturated CE
+        a = jnp.maximum(x.astype(jnp.float32) * s + t, 0.0)
+        logits = ref_conv(a.astype(jnp.bfloat16), w3) + bias
+        masks = jnp.argmax(logits, axis=-1)
+
+        lf, gf = jax.value_and_grad(fused, argnums=(0, 1))(x, w3, s, t, bias)
+        lr_, gr = jax.value_and_grad(unfused, argnums=(0, 1))(x, w3, s, t,
+                                                              bias)
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        for n, fa, ra in zip(["dx", "dw"], gf, gr):
+            fa, ra = np.asarray(fa, np.float64), np.asarray(ra, np.float64)
+            assert np.abs(ra).max() > 0
+            err = np.abs(fa - ra).max() / np.abs(ra).max()
+            assert err < 0.08, (n, err)
 
     def test_with_conf_false_same_loss_zero_conf(self, rng):
         """with_conf=False drops the in-kernel argmax index tracking and
