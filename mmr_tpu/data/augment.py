@@ -127,40 +127,6 @@ def _affine_sample(img_hwc, mask_hw, angle, scale, out_hw):
     return img_out, mask_out.astype(mask_hw.dtype)
 
 
-def _gaussian_blur(img_hwc, sigma, apply_per_channel):
-    """Separable Gaussian blur as two depthwise convs (dynamic sigma, static
-    kernel width 2*4*sigma_max+1). Reflect-ish edge handling via edge padding."""
-    r = _BLUR_RADIUS
-    c = img_hwc.shape[-1]
-    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    w = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-6)) ** 2)
-    w = w / w.sum()
-    kern_h = jnp.broadcast_to(w[:, None, None, None], (2 * r + 1, 1, 1, c))
-    kern_w = jnp.broadcast_to(w[None, :, None, None], (1, 2 * r + 1, 1, c))
-    dn = ("NHWC", "HWIO", "NHWC")
-    y = jnp.pad(img_hwc, [(r, r), (r, r), (0, 0)], mode="edge")[None]
-    y = jax.lax.conv_general_dilated(y, kern_h, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=c)
-    y = jax.lax.conv_general_dilated(y, kern_w, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=c)
-    return jnp.where(apply_per_channel[None, None, :], y[0], img_hwc)
-
-
-def _simulate_low_res(img_hwc, scale, apply_per_channel):
-    """Nearest-downsample by ``scale`` then reconstruction, jit-safe via
-    coordinate snapping (samples the original at grid-snapped coords)."""
-    h, w = img_hwc.shape[0], img_hwc.shape[1]
-    yy = jnp.floor(jnp.arange(h, dtype=jnp.float32) * scale) / scale
-    xx = jnp.floor(jnp.arange(w, dtype=jnp.float32) * scale) / scale
-    gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
-    coords = jnp.stack([gy, gx])
-    low = jax.vmap(
-        lambda ch: jax.scipy.ndimage.map_coordinates(ch, coords, order=0, mode="nearest"),
-        in_axes=-1, out_axes=-1,
-    )(img_hwc)
-    return jnp.where(apply_per_channel[None, None, :], low, img_hwc)
-
-
 def _affine_batch_shared(images, masks, angle, scale, out_hw):
     """Warp the whole batch with ONE (angle, scale): sampling coordinates are
     shared across batch and channels, so the gather has shared indices — the

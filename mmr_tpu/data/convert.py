@@ -188,6 +188,14 @@ def write_mini_split(out_root: str | Path, train_fraction: float = 0.8) -> Path:
                  for p in (out_root / "data").glob("*.zarr"))
     if not ids:
         raise FileNotFoundError(f"no converted videos under {out_root}")
+    if len(ids) == 1:
+        # the fallback puts the SAME video in train/val/test — usable for a
+        # smoke run, but any metric from it is train-set leakage
+        import logging
+        logging.getLogger("mmr_tpu").warning(
+            "mini split over a single video: train == val == test — "
+            "validation/test metrics will be train-set leakage; convert "
+            ">= 2 videos for a meaningful split")
     n_train = max(1, min(len(ids) - 1, int(round(len(ids) * train_fraction))))         if len(ids) > 1 else 1
     split = {"train": ids[:n_train], "val": ids[n_train:] or ids[-1:],
              "test": ids[n_train:] or ids[-1:]}

@@ -63,8 +63,21 @@ class PatchSampler:
             (si, t) for si, s in enumerate(self.stores) for t in range(s.shape[0])
         ]
         self._perm: list[int] = []
-        # per-store class_locations grouped by frame for frame-local fg forcing
-        self._class_locs = [s.class_locations for s in self.stores]
+        # per-store class_locations grouped by frame ONCE here: coords are
+        # (t, y, x) tuples; a per-sample linear rescan of the whole store's
+        # list (~150k tuples on a real video) on the prefetch thread can
+        # outrun the device step and starve the pipeline
+        self._class_locs: list[dict[int, dict[int, list]]] = []
+        for s in self.stores:
+            by_frame: dict[int, dict[int, list]] = {}
+            for c, coords in s.class_locations.items():
+                for (tt, y, x) in coords:
+                    by_frame.setdefault(int(tt), {}).setdefault(
+                        int(c), []).append((y, x))
+            # class iteration order feeds an rng.randint choice — keep it
+            # sorted so the draw sequence is independent of coord order
+            self._class_locs.append(
+                {t: dict(sorted(d.items())) for t, d in by_frame.items()})
 
     # --------------------------------------------------------------- sampler
     def _next_sample_indices(self, n: int) -> list[int]:
@@ -105,17 +118,15 @@ class PatchSampler:
         return bbox[0], bbox[1]
 
     def _frame_locations(self, store_idx: int, t: int) -> dict[int, list]:
-        """class_locations restricted to frame t: stored coords are (t, y, x)."""
-        locs = self._class_locs[store_idx]
-        return {
-            c: [(y, x) for (tt, y, x) in v if tt == t]
-            for c, v in locs.items()
-        }
+        """class_locations restricted to frame t (O(1) — grouped in init)."""
+        return self._class_locs[store_idx].get(int(t), {})
 
     # ----------------------------------------------------------------- epoch
     def epoch(self, epoch_seed: int | None = None, num_workers: int = 8):
-        """Yield ``steps_per_epoch`` batches of (images NHWC f32 [0,1],
-        masks NHW u8).
+        """Yield ``steps_per_epoch`` batches of (images NHWC in the STORE
+        dtype — uint8 0..255 for compact stores, f32 [0,1] for the
+        reference schema; the train/eval steps divide uint8 by 255 on
+        device — masks NHW u8).
 
         All of a batch's Zarr window reads are issued as tensorstore FUTURES
         up front and decoded in parallel on tensorstore's C++ thread pool —

@@ -27,17 +27,48 @@ class PrefetchIterator:
         self.transfer = transfer
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._error = None
+        self._closed = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
     def _worker(self):
         try:
             for item in self.source:
-                self.q.put(self.transfer(item))
+                out = self.transfer(item)
+                # bounded put with a close check: if the consumer abandons
+                # iteration (step raised, epoch aborted), the worker must not
+                # block forever holding `depth` device-sharded batches of HBM
+                while not self._closed.is_set():
+                    try:
+                        self.q.put(out, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if self._closed.is_set():
+                    return
         except BaseException as e:  # surface worker errors on the consumer side
             self._error = e
         finally:
-            self.q.put(self._SENTINEL)
+            # the sentinel MUST reach the consumer (a dropped one leaves the
+            # consumer blocked on get() forever); bounded put + close check
+            while not self._closed.is_set():
+                try:
+                    self.q.put(self._SENTINEL, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self):
+        """Release the producer thread and any staged batches."""
+        self._closed.set()
+        while True:  # drain so a blocked put can finish
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+
+    def __del__(self):
+        self._closed.set()
 
     def __iter__(self) -> Iterator:
         while True:
@@ -60,3 +91,10 @@ def microbatch_stacker(batch_iter: Iterable, n_accum: int):
         if len(imgs) == n_accum:
             yield np.stack(imgs), np.stack(masks)
             imgs, masks = [], []
+    if imgs:
+        # no silent caps: a steps_per_epoch not divisible by n_accum leaves
+        # fully-sampled batches unused (RNG advanced, windows decoded)
+        import logging
+        logging.getLogger("mmr_tpu").warning(
+            "microbatch_stacker dropped %d trailing sampler batch(es): "
+            "steps_per_epoch %% grad_accumulate_step != 0", len(imgs))

@@ -71,6 +71,13 @@ class PngFolderDataset:
                        and not self.full_res)
         if self._cache is not None and i in self._cache and not random_crop:
             return self._cache[i]
+        if random_crop and self._cache is not None and i in self._cache:
+            # cache holds the RESIZED pre-crop pair; only the (cheap)
+            # random crop runs per access — without this, cache_in_ram was
+            # silently bypassed for the cropSize == -1 training regime
+            # (full PNG decode + resize per epoch per image)
+            img, gt = self._cache[i]
+            return self._random_crop(img, gt, crop_rng)
         name = self.files[i]
         img = cv2.cvtColor(cv2.imread(str(self.img_dir / name)), cv2.COLOR_BGR2RGB)
         gt = cv2.imread(str(self.gt_dir / name), cv2.IMREAD_UNCHANGED)
@@ -84,24 +91,35 @@ class PngFolderDataset:
             rw = max(self.TRAIN_RESIZE_HW[1], tw)
             img = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
             gt = cv2.resize(gt, (rw, rh), interpolation=cv2.INTER_NEAREST)
-            rng = crop_rng or np.random
-            y0 = int(rng.randint(0, rh - th + 1))
-            x0 = int(rng.randint(0, rw - tw + 1))
-            img = img[y0:y0 + th, x0:x0 + tw]
-            gt = gt[y0:y0 + th, x0:x0 + tw]
+            if self._cache is not None:
+                self._cache[i] = (img, gt)
+            return self._random_crop(img, gt, crop_rng)
         elif not self.full_res:
             h, w = self.resized_hw
             img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
             gt = cv2.resize(gt, (w, h), interpolation=cv2.INTER_NEAREST)
+        out = self._finish(img, gt)
+        if self._cache is not None:
+            self._cache[i] = out
+        return out
+
+    def _finish(self, img: np.ndarray, gt: np.ndarray):
         if gt.ndim == 3:  # RGB color-coded → ids via the key
             eq = (gt[..., None, :] == self.key[None, None]).all(-1)
             ids = np.where(eq.any(-1), eq.argmax(-1), 0)
         else:  # id-coded grayscale (sarrarp50), clamp like :172-176
             ids = np.clip(gt, 0, self.num_classes - 1)
-        out = (img.astype(np.float32) / 255.0, ids.astype(np.int32))
-        if self._cache is not None and not random_crop:
-            self._cache[i] = out
-        return out
+        return (img.astype(np.float32) / 255.0, ids.astype(np.int32))
+
+    def _random_crop(self, img: np.ndarray, gt: np.ndarray,
+                     crop_rng: np.random.RandomState | None):
+        th, tw = self.resized_hw
+        rh, rw = img.shape[0], img.shape[1]
+        rng = crop_rng or np.random
+        y0 = int(rng.randint(0, rh - th + 1))
+        x0 = int(rng.randint(0, rw - tw + 1))
+        return self._finish(img[y0:y0 + th, x0:x0 + tw],
+                            gt[y0:y0 + th, x0:x0 + tw])
 
     def __getitem__(self, i: int):
         return self._load(i)

@@ -177,10 +177,12 @@ class VideoStore:
         return finish
 
     def read_frames(self, t0: int, t1: int) -> tuple[np.ndarray, np.ndarray]:
-        """Whole frames [t0, t1) → image (T, H, W, 3) f32, mask (T, H, W) u8."""
+        """Whole frames [t0, t1) → image (T, H, W, 3) in the STORE dtype
+        (uint8 0..255 for compact stores — kept raw so the inference path
+        uploads 1 byte/px over the ~0.04 GB/s tunnel and divides by 255 on
+        device, like training batches; f32 [0,1] for reference-schema
+        stores), mask (T, H, W) u8."""
         img = np.asarray(self.image[:, t0:t1]).transpose(1, 2, 3, 0)
-        if img.dtype == np.uint8:
-            img = img.astype(np.float32) / 255.0
         mask = np.asarray(self.mask[t0:t1])
         return np.ascontiguousarray(img), mask
 

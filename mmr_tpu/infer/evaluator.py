@@ -91,6 +91,20 @@ def run_inference(
         current, n_frames, plot_item = [], 0, None
         video_start = time.time()
 
+    import jax
+
+    @jax.jit
+    def _metrics(logits, masks_dev):
+        # argmax + background-excluded per-frame per-class IoU (the −1 shift
+        # trick) entirely on device — only the (T, C) IoU table and the
+        # argmax preds of the ONE plotted item per video come back to host
+        preds = jnp.argmax(logits, axis=-1)
+        tp, fp, fn, tn = segmentation_stats(
+            preds.astype(jnp.int32) - 1, masks_dev.astype(jnp.int32) - 1,
+            n_classes, ignore_index=-1)
+        return preds, iou_score(tp, fp, fn, tn)
+
+    nT = dataset.infer_batch_size
     for item in dataset:
         name = item["id"]
         if not seen or name != seen[-1]:
@@ -98,18 +112,30 @@ def run_inference(
                 flush_video(seen[-1])
             seen.append(name)
             print(f"Processing video: {name}")
-        frames = jnp.asarray(item["image"])
-        masks = item["mask"].astype(np.int32)
+        img, masks = item["image"], item["mask"]
+        n_valid = img.shape[0]
+        if n_valid < nT:
+            # pad the video's tail chunk to the full temporal batch (repeat
+            # the last frame) — a shorter batch would retrace + recompile
+            # the whole sliding-window program (minutes over the tunnel);
+            # the pad rows are sliced off the host-side IoU table below
+            pad_n = nT - n_valid
+            img = np.concatenate([img, np.repeat(img[-1:], pad_n, 0)], 0)
+            masks = np.concatenate([masks, np.repeat(masks[-1:], pad_n, 0)],
+                                   0)
+        # images upload in the STORE dtype (uint8 for compact stores: 1
+        # byte/px over the ~0.04 GB/s tunnel; sw divides by 255 on device)
+        frames = jnp.asarray(img)
         logits = sw(frames)
-        preds = np.asarray(jnp.argmax(logits, axis=-1))
-        # background-excluded per-frame per-class IoU (the −1 shift trick)
-        tp, fp, fn, tn = segmentation_stats(
-            jnp.asarray(preds - 1), jnp.asarray(masks - 1), n_classes,
-            ignore_index=-1)
-        current.append(np.asarray(iou_score(tp, fp, fn, tn)))
-        n_frames += frames.shape[0]
+        preds_d, iou_tbl = _metrics(logits,
+                                    jnp.asarray(masks.astype(np.uint8)))
+        current.append(np.asarray(iou_tbl)[:n_valid])
+        n_frames += n_valid
         if plot_item is None:
-            plot_item = (np.asarray(frames), masks, preds,
+            plot_item = (np.asarray(img[:n_valid], np.float32)
+                         / (255.0 if img.dtype == np.uint8 else 1.0),
+                         masks[:n_valid].astype(np.int32),
+                         np.asarray(preds_d)[:n_valid],
                          f"{name}_{item['t0']}-{item['t1']}")
     if seen:
         flush_video(seen[-1])

@@ -147,6 +147,8 @@ def make_sliding_window_fn(model, variables, roi, num_classes,
         return model.apply(variables, windows, train=False)
 
     def run(frames):
+        if frames.dtype == jnp.uint8:  # compact-transfer: k/255 on device
+            frames = frames.astype(jnp.float32) / 255.0
         if preprocess is not None:
             frames = preprocess(frames)
         return sliding_window_inference(

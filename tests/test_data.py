@@ -219,9 +219,10 @@ def test_uint8_store_roundtrip_and_sampler_dtype(tmp_path):
     assert img_u8.dtype == np.uint8
     np.testing.assert_array_equal(img_u8,
                                   k.transpose(1, 2, 0).astype(np.uint8))
-    # whole-frame read contract: f32
+    # whole-frame read contract: STORE dtype (compact uint8 stays raw so
+    # inference H2D is 1 byte/px; the sliding-window fn divides on device)
     frames, masks = store.read_frames(0, 2)
-    assert frames.dtype == np.float32 and frames.max() <= 1.0
+    assert frames.dtype == store.image_dtype
 
     sampler = PatchSampler([tmp_path / "v.zarr"], patch_size=(32, 32),
                            batch_size=4, steps_per_epoch=2)
