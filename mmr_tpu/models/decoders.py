@@ -44,7 +44,8 @@ class DecoderBlock(nn.Module):
 
 class SegmentationHead(nn.Module):
     """3×3 conv head (+ optional fixed upsampling), smp SegmentationHead
-    semantics."""
+    semantics: the upsample is ``nn.UpsamplingBilinear2d`` — align_corners
+    TRUE (matters for Segformer's ×4 head; Unet-family heads use 1)."""
 
     num_classes: int
     upsampling: int = 1
@@ -57,7 +58,8 @@ class SegmentationHead(nn.Module):
         x = Conv3x3(self.num_classes, dtype=self.dtype, name="conv")(x)
         if self.upsampling > 1:
             x = resize_bilinear(
-                x, (x.shape[-3] * self.upsampling, x.shape[-2] * self.upsampling))
+                x, (x.shape[-3] * self.upsampling, x.shape[-2] * self.upsampling),
+                align_corners=True)
         return x.astype(jnp.float32)
 
 
@@ -66,12 +68,15 @@ class _EncoderMixin:
         from mmr_tpu.models.encoders import get_encoder
 
         spec = get_encoder(self.encoder_name)
+        kw = {}
         if getattr(self, "packed_frontend", False):
             # run the encoder front-end as packed fused kernels; high-res
             # features come back as PackedT (packed_encoder.py)
-            enc = spec.build(self.dtype, "encoder", packed_frontend=True)
-        else:
-            enc = spec.build(self.dtype, "encoder")
+            kw["packed_frontend"] = True
+        if getattr(self, "encoder_output_stride", 32) != 32:
+            # smp make_dilated capability (DeepLabV3+ default os=16)
+            kw["output_stride"] = self.encoder_output_stride
+        enc = spec.build(self.dtype, "encoder", **kw)
         return enc(x, train)
 
 
@@ -434,8 +439,36 @@ class SegformerModel(nn.Module, _EncoderMixin):
                                 name="head")(y)
 
 
+class SeparableConvBNReLU(nn.Module):
+    """smp ``SeparableConv2d`` + BN + ReLU: bias-free depthwise 3×3 (optionally
+    dilated) then bias-free pointwise 1×1 (smp base/modules.py SeparableConv2d;
+    ASPPSeparableConv passes ``bias=False``)."""
+
+    out_ch: int
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        p = self.dilation  # 3×3: padding == dilation keeps SAME extent
+        x = nn.Conv(cin, (3, 3), padding=[(p, p), (p, p)],
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=cin, use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="dw")(x)
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="pw")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn")(x)
+        return nn.relu(x)
+
+
 class ASPP(nn.Module):
-    """Atrous spatial pyramid pooling (DeepLabV3+)."""
+    """Atrous spatial pyramid pooling — smp's separable variant exactly
+    (smp decoders/deeplabv3/decoder.py ASPP, the DeepLabV3+ default):
+    1×1 branch, three ASPPSeparableConv branches, global-pool branch
+    (bilinear-broadcast back), then 1×1 project + BN + ReLU + Dropout(0.5)."""
 
     out_ch: int = 256
     rates: tuple[int, ...] = (12, 24, 36)
@@ -443,112 +476,163 @@ class ASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        branches = [ConvBN(self.out_ch, kernel=(1, 1), padding=0, dtype=self.dtype,
-                           name="conv1x1")(x, train)]
-        for r in self.rates:
-            y = nn.Conv(self.out_ch, (3, 3), padding=[(r, r), (r, r)],
-                        kernel_dilation=(r, r), use_bias=False, dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"atrous{r}_conv")(x)
+        def cbr(y, name):  # bias-free 1×1 conv + BN + ReLU
+            y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"{name}_conv")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
-                             name=f"atrous{r}_bn")(y)
-            branches.append(nn.relu(y))
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = ConvBN(self.out_ch, kernel=(1, 1), padding=0, dtype=self.dtype,
-                        name="pool_conv")(pooled, train)
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"{name}_bn")(y)
+            return nn.relu(y)
+
+        branches = [cbr(x, "c0")]
+        for i, r in enumerate(self.rates, start=1):
+            branches.append(SeparableConvBNReLU(
+                self.out_ch, dilation=r, dtype=self.dtype, name=f"c{i}")(x, train))
+        pooled = cbr(jnp.mean(x, axis=(1, 2), keepdims=True), "pool")
+        # ASPPPooling's bilinear resize from a 1×1 source is a broadcast
         pooled = jnp.broadcast_to(pooled, x.shape[:-1] + (self.out_ch,))
         y = jnp.concatenate(branches + [pooled], axis=-1)
-        return ConvBN(self.out_ch, kernel=(1, 1), padding=0, dtype=self.dtype,
-                      name="project")(y, train)
+        y = cbr(y, "proj")
+        return nn.Dropout(0.5, deterministic=not train)(y)
 
 
 class DeepLabV3PlusModel(nn.Module, _EncoderMixin):
-    """DeepLabV3+ (smp ``smp_DeepLabV3+`` capability,
-    ``ModelTraining.py:263-269``): ASPP on the deepest feature, ×4 upsample,
-    concat with a 48-ch projection of the stride-4 feature, refine, ×4 head."""
+    """DeepLabV3+, smp-exact (``smp.DeepLabV3Plus(encoder_name='resnet18')``,
+    ``ModelTraining.py:263-269``, all defaults): encoder at output_stride 16
+    (dilated last stage), separable ASPP + post separable conv, ×4
+    ``UpsamplingBilinear2d`` (align_corners=True), 48-ch projection of the
+    stride-4 feature, separable fuse, 1×1 head + ×4 bilinear upsample.
+    Checkpoints import via ``import_smp_deeplabv3plus_state_dict``."""
 
     num_classes: int
     encoder_name: str = "resnet18"
     aspp_ch: int = 256
+    atrous_rates: tuple[int, ...] = (12, 24, 36)
+    encoder_output_stride: int = 16
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self._encode(x, train)
-        deep = feats[-1]   # s32
-        high = feats[1]    # s4 (present for every registered encoder)
-        y = ASPP(self.aspp_ch, dtype=self.dtype, name="aspp")(deep, train)
-        y = resize_bilinear(y, (high.shape[-3], high.shape[-2]))
-        h = ConvBN(48, kernel=(1, 1), padding=0, dtype=self.dtype, name="high_proj")(high, train)
-        y = jnp.concatenate([y, h], axis=-1)
-        y = ConvBN(256, dtype=self.dtype, name="refine1")(y, train)
-        y = ConvBN(256, dtype=self.dtype, name="refine2")(y, train)
-        up = x.shape[-3] // y.shape[-3]
-        return SegmentationHead(self.num_classes, upsampling=up, dtype=self.dtype,
-                                name="head")(y)
+        deep = feats[-1]   # s16 when encoder_output_stride=16 (dilated)
+        high = feats[1]    # s4 — smp decoder's features[-4]
+        y = ASPP(self.aspp_ch, self.atrous_rates, dtype=self.dtype,
+                 name="aspp")(deep, train)
+        y = SeparableConvBNReLU(self.aspp_ch, dtype=self.dtype,
+                                name="post")(y, train)
+        scale = 2 if self.encoder_output_stride == 8 else 4
+        y = resize_bilinear(y, (y.shape[-3] * scale, y.shape[-2] * scale),
+                            align_corners=True)
+        h = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="block1_conv")(high)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="block1_bn")(h)
+        y = jnp.concatenate([y, nn.relu(h)], axis=-1)
+        y = SeparableConvBNReLU(self.aspp_ch, dtype=self.dtype,
+                                name="block2")(y, train)
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="head_conv")(y).astype(jnp.float32)
+        up = x.shape[-3] // logits.shape[-3]
+        if up > 1:
+            logits = resize_bilinear(
+                logits, (logits.shape[-3] * up, logits.shape[-2] * up),
+                align_corners=True)
+        return logits
 
 
 class PAB(nn.Module):
-    """Position attention block (MANet) on the deepest feature."""
+    """Position attention block — smp-exact (smp decoders/manet/decoder.py
+    PAB), including two quirks real checkpoints depend on: (1) the softmax is
+    taken over the ENTIRE flattened hw×hw map (``Softmax(dim=1)`` on a
+    ``view(b, -1)``), not per row; (2) the attended (b, hw, C) tensor is
+    reinterpreted as (b, C, h, w) by a raw ``reshape`` — no transpose — before
+    the residual add."""
 
-    out_ch: int
-    mid_ch: int = 64
+    pab_channels: int = 64
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        q = nn.Conv(self.mid_ch, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="q")(x)
-        k = nn.Conv(self.mid_ch, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="k")(x)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="v")(x)
-        q = q.reshape(b, h * w, self.mid_ch)
-        k = k.reshape(b, h * w, self.mid_ch)
-        v = v.reshape(b, h * w, c)
-        attn = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        y = jnp.einsum("bnm,bmc->bnc", attn, v, preferred_element_type=jnp.float32)
-        y = y.astype(self.dtype).reshape(b, h, w, c)
-        return x + y
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding=[(k // 2, k // 2)] * 2, use_bias=True,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        top = conv(self.pab_channels, 1, "top_conv")(x).reshape(b, h * w, -1)
+        center = conv(self.pab_channels, 1, "center_conv")(x).reshape(b, h * w, -1)
+        bottom = conv(c, 3, "bottom_conv")(x).reshape(b, h * w, c)
+        # torch: matmul(centerᵀ (b,hw,pab), top (b,pab,hw)) → our NHWC
+        # flattens already give (b, hw, pab) for both
+        sp = jnp.einsum("bnp,bmp->bnm", center, top,
+                        preferred_element_type=jnp.float32)
+        sp = nn.softmax(sp.reshape(b, -1), axis=-1).reshape(b, h * w, h * w)
+        att = jnp.einsum("bnm,bmc->bnc", sp.astype(self.dtype), bottom,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        # quirk (2): raw reshape (b, hw, C) → (b, C, h, w), then to NHWC
+        att = att.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+        return conv(c, 3, "out_conv")(x + att)
 
 
 class MFAB(nn.Module):
-    """Multi-scale fusion attention block (MANet decoder block): fuse up+skip
-    with channel attention from global pooling."""
+    """Multi-scale fusion attention block — smp-exact (smp
+    decoders/manet/decoder.py MFAB): hl_conv = Conv2dReLU(ch→ch, 3×3) then
+    Conv2dReLU(ch→skip_ch, 1×1); ×2 nearest upsample; SE attention computed
+    on BOTH streams, summed, applied to the upsampled stream only; concat
+    skip; two Conv2dReLU."""
 
+    skip_ch: int
     out_ch: int
     reduction: int = 16
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, skip=None, train: bool = False):
-        x = ConvBN(self.out_ch, dtype=self.dtype, name="hl_conv1")(x, train)
+    def __call__(self, x, skip, train: bool = False):
+        x = ConvBN(x.shape[-1], dtype=self.dtype, name="hl_conv1")(x, train)
+        x = ConvBN(self.skip_ch, kernel=(1, 1), padding=0, dtype=self.dtype,
+                   name="hl_conv2")(x, train)
         x = upsample2x(x, "nearest")
-        if skip is not None:
-            s = jnp.mean(skip, axis=(1, 2), keepdims=True)
-            s = nn.Conv(max(1, skip.shape[-1] // self.reduction), (1, 1), dtype=self.dtype,
-                        param_dtype=jnp.float32, name="att_reduce")(s)
-            s = nn.relu(s)
-            s = nn.Conv(skip.shape[-1], (1, 1), dtype=self.dtype,
-                        param_dtype=jnp.float32, name="att_expand")(s)
-            skip = skip * nn.sigmoid(s)
-            x = jnp.concatenate([x, skip], axis=-1)
+
+        def se(y, name):
+            red = max(1, self.skip_ch // self.reduction)
+            s = jnp.mean(y, axis=(1, 2), keepdims=True)
+            s = nn.Conv(red, (1, 1), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"{name}_reduce")(s)
+            s = nn.Conv(self.skip_ch, (1, 1), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"{name}_expand")(nn.relu(s))
+            return nn.sigmoid(s)
+
+        att = se(x, "se_hl") + se(skip, "se_ll")
+        x = jnp.concatenate([x * att, skip], axis=-1)
         x = ConvBN(self.out_ch, dtype=self.dtype, name="conv1")(x, train)
         return ConvBN(self.out_ch, dtype=self.dtype, name="conv2")(x, train)
 
 
 class MAnetModel(nn.Module, _EncoderMixin):
-    """MANet (smp ``smp_MANet`` capability, ``ModelTraining.py:270-278``)."""
+    """MANet, smp-exact (``smp.MAnet(encoder_name='resnet18')``,
+    ``ModelTraining.py:270-278``, all defaults): PAB center on the deepest
+    feature, MFAB decoder blocks wherever a skip exists, plain DecoderBlock
+    for the skipless tail, 3×3 head. Checkpoints import via
+    ``import_smp_manet_state_dict``."""
 
     num_classes: int
     encoder_name: str = "resnet18"
     decoder_channels: tuple[int, ...] = (256, 128, 64, 32, 16)
+    pab_channels: int = 64
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self._encode(x, train)
-        skips = feats[:-1][::-1] + [None]
-        y = PAB(feats[-1].shape[-1], dtype=self.dtype, name="pab")(feats[-1])
+        skips = feats[:-1][::-1] + [None]  # [f4, f3, f2, f1, None]
+        y = PAB(self.pab_channels, dtype=self.dtype, name="center")(feats[-1])
         for i, ch in enumerate(self.decoder_channels):
-            y = MFAB(ch, dtype=self.dtype, name=f"block{i}")(y, skips[i], train)
-        return SegmentationHead(self.num_classes, dtype=self.dtype, name="head")(y)
+            s = skips[i] if i < len(skips) else None
+            if s is not None:
+                y = MFAB(s.shape[-1], ch, dtype=self.dtype,
+                         name=f"block{i}")(y, s, train)
+            else:
+                y = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(
+                    y, None, train)
+        return SegmentationHead(self.num_classes, dtype=self.dtype,
+                                name="head")(y)

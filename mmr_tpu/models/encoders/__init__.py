@@ -33,11 +33,11 @@ class EncoderSpec:
 
 ENCODERS: dict[str, EncoderSpec] = {
     "resnet18": EncoderSpec(
-        build=lambda dtype, name: ResNetEncoder(stage_sizes=(2, 2, 2, 2), dtype=dtype, name=name),
+        build=lambda dtype, name, **kw: ResNetEncoder(stage_sizes=(2, 2, 2, 2), dtype=dtype, name=name, **kw),
         channels=(64, 64, 128, 256, 512),
     ),
     "resnet34": EncoderSpec(
-        build=lambda dtype, name: ResNetEncoder(stage_sizes=(3, 4, 6, 3), dtype=dtype, name=name),
+        build=lambda dtype, name, **kw: ResNetEncoder(stage_sizes=(3, 4, 6, 3), dtype=dtype, name=name, **kw),
         channels=(64, 64, 128, 256, 512),
     ),
     # timm-universal naming used by the reference config

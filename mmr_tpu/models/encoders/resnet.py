@@ -17,13 +17,16 @@ from flax import linen as nn
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
+    dilation: int = 1  # smp make_dilated: every conv gets stride 1 + dilation
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dilation
         conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+            f, (k, k), strides=(s, s), padding=[((k // 2) * d, (k // 2) * d)] * 2,
+            kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name)
@@ -39,6 +42,12 @@ class BasicBlock(nn.Module):
 
 class ResNetEncoder(nn.Module):
     stage_sizes: tuple[int, ...] = (2, 2, 2, 2)
+    # smp ``EncoderMixin.make_dilated(output_stride=16)`` capability
+    # (``smp/encoders/_base.py``): every conv of the LAST stage is mutated to
+    # stride 1 / dilation 2 / padding (k//2)*2, so f5 stays at stride 16 —
+    # required by DeepLabV3+ (``ModelTraining.py:263-269`` builds it with the
+    # default ``encoder_output_stride=16``).
+    output_stride: int = 32
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -52,9 +61,12 @@ class ResNetEncoder(nn.Module):
 
         x = nn.max_pool(f1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         feats = []
+        last = len(self.stage_sizes) - 1
         for i, (n_blocks, ch) in enumerate(zip(self.stage_sizes, (64, 128, 256, 512))):
+            dilated = self.output_stride == 16 and i == last
             for b in range(n_blocks):
-                stride = 2 if (b == 0 and i > 0) else 1
-                x = BasicBlock(ch, stride, dtype=self.dtype, name=f"layer{i + 1}_{b}")(x, train)
+                stride = 2 if (b == 0 and i > 0 and not dilated) else 1
+                x = BasicBlock(ch, stride, dilation=2 if dilated else 1,
+                               dtype=self.dtype, name=f"layer{i + 1}_{b}")(x, train)
             feats.append(x)
-        return [f1] + feats  # strides 2, 4, 8, 16, 32
+        return [f1] + feats  # strides 2, 4, 8, 16, 32 (16 dilated at os=16)

@@ -409,3 +409,154 @@ def _convnext_tree(sd: Mapping[str, Any], depths, use_grn: bool) -> tuple[dict, 
                 blk["gamma"] = _np(sd[f"{t}.gamma"]).reshape(-1)
             params[f"stage{i}_block{b}"] = blk
     return params, {}
+
+
+# ------------------------------------- full smp DeepLabV3+ / MAnet importers
+
+def _split_encoder(sd: Mapping[str, Any]) -> dict:
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    if any(k.startswith("model.") for k in enc_sd):
+        enc_sd = {k[len("model."):]: v for k, v in enc_sd.items()
+                  if k.startswith("model.")}
+    return enc_sd
+
+
+def _sep(sd: Mapping[str, Any], base: str) -> tuple[dict, dict]:
+    """smp SeparableConv2d+BN: ``{base}.0.0`` depthwise, ``{base}.0.1``
+    pointwise, ``{base}.1`` BN → our SeparableConvBNReLU {dw, pw, bn}."""
+    bn_p, bn_s = _bn(sd, f"{base}.1")
+    return ({"dw": {"kernel": _dwconv(sd[f"{base}.0.0.weight"])},
+             "pw": {"kernel": _conv(sd[f"{base}.0.1.weight"])},
+             "bn": bn_p},
+            {"bn": bn_s})
+
+
+def import_smp_deeplabv3plus_state_dict(sd: Mapping[str, Any],
+                                        encoder_name: str = "resnet18"
+                                        ) -> tuple[dict, dict]:
+    """Convert a complete ``smp.DeepLabV3Plus`` state dict (the reference's
+    ``smp_DeepLabV3+`` zoo entry, ``ModelTraining.py:263-269``) into our
+    :class:`~mmr_tpu.models.decoders.DeepLabV3PlusModel` params/batch_stats.
+
+    smp naming: ``decoder.aspp.0`` = ASPP (convs.0 1×1+BN, convs.1-3
+    ASPPSeparableConv, convs.4 ASPPPooling, project), ``decoder.aspp.1/.2`` =
+    post SeparableConv2d+BN, ``decoder.block1/block2``, and
+    ``segmentation_head.0`` (1×1 conv, bias).
+    """
+    enc_params, enc_stats = import_torch_state_dict(_split_encoder(sd),
+                                                    encoder_name)
+    params: dict = {"encoder": enc_params}
+    stats: dict = {"encoder": enc_stats}
+
+    aspp_p: dict = {"c0_conv": {"kernel": _conv(sd["decoder.aspp.0.convs.0.0.weight"])}}
+    aspp_s: dict = {}
+    aspp_p["c0_bn"], aspp_s["c0_bn"] = _bn(sd, "decoder.aspp.0.convs.0.1")
+    for i in (1, 2, 3):
+        aspp_p[f"c{i}"], aspp_s[f"c{i}"] = _sep(sd, f"decoder.aspp.0.convs.{i}")
+    aspp_p["pool_conv"] = {"kernel": _conv(sd["decoder.aspp.0.convs.4.1.weight"])}
+    aspp_p["pool_bn"], aspp_s["pool_bn"] = _bn(sd, "decoder.aspp.0.convs.4.2")
+    aspp_p["proj_conv"] = {"kernel": _conv(sd["decoder.aspp.0.project.0.weight"])}
+    aspp_p["proj_bn"], aspp_s["proj_bn"] = _bn(sd, "decoder.aspp.0.project.1")
+    params["aspp"], stats["aspp"] = aspp_p, aspp_s
+
+    post_p = {"dw": {"kernel": _dwconv(sd["decoder.aspp.1.0.weight"])},
+              "pw": {"kernel": _conv(sd["decoder.aspp.1.1.weight"])}}
+    post_p["bn"], post_bn_s = _bn(sd, "decoder.aspp.2")
+    params["post"], stats["post"] = post_p, {"bn": post_bn_s}
+
+    params["block1_conv"] = {"kernel": _conv(sd["decoder.block1.0.weight"])}
+    params["block1_bn"], stats["block1_bn"] = _bn(sd, "decoder.block1.1")
+    params["block2"], stats["block2"] = _sep(sd, "decoder.block2")
+
+    params["head_conv"] = {"kernel": _conv(sd["segmentation_head.0.weight"]),
+                           "bias": _np(sd["segmentation_head.0.bias"])}
+    return params, stats
+
+
+def import_smp_manet_state_dict(sd: Mapping[str, Any],
+                                encoder_name: str = "resnet18"
+                                ) -> tuple[dict, dict]:
+    """Convert a complete ``smp.MAnet`` state dict (the reference's
+    ``smp_MANet`` zoo entry, ``ModelTraining.py:270-278``) into our
+    :class:`~mmr_tpu.models.decoders.MAnetModel` params/batch_stats.
+
+    smp naming: ``decoder.center`` = PAB (top/center/bottom/out convs),
+    ``decoder.blocks.{i}`` = MFAB (hl_conv.{0,1} Conv2dReLU pairs, SE_hl/
+    SE_ll Sequentials at indices 1/3, conv1/conv2) or a plain DecoderBlock
+    (conv1/conv2 only) when the block has no skip, and
+    ``segmentation_head.0`` (3×3 conv, bias).
+    """
+    enc_params, enc_stats = import_torch_state_dict(_split_encoder(sd),
+                                                    encoder_name)
+    params: dict = {"encoder": enc_params}
+    stats: dict = {"encoder": enc_stats}
+
+    c = "decoder.center"
+    params["center"] = {
+        name: {"kernel": _conv(sd[f"{c}.{name}.weight"]),
+               "bias": _np(sd[f"{c}.{name}.bias"])}
+        for name in ("top_conv", "center_conv", "bottom_conv", "out_conv")}
+
+    idxs = sorted({int(k.split(".")[2]) for k in sd
+                   if k.startswith("decoder.blocks.")})
+    for i in idxs:
+        base = f"decoder.blocks.{i}"
+        p_node: dict = {}
+        s_node: dict = {}
+        if f"{base}.hl_conv.0.0.weight" in sd:  # MFAB
+            for j, name in ((0, "hl_conv1"), (1, "hl_conv2")):
+                p_node[name] = {"conv": {"kernel": _conv(sd[f"{base}.hl_conv.{j}.0.weight"])}}
+                p_node[name]["bn"], bn_s = _bn(sd, f"{base}.hl_conv.{j}.1")
+                s_node[name] = {"bn": bn_s}
+            for se, ours in (("SE_hl", "se_hl"), ("SE_ll", "se_ll")):
+                p_node[f"{ours}_reduce"] = {
+                    "kernel": _conv(sd[f"{base}.{se}.1.weight"]),
+                    "bias": _np(sd[f"{base}.{se}.1.bias"])}
+                p_node[f"{ours}_expand"] = {
+                    "kernel": _conv(sd[f"{base}.{se}.3.weight"]),
+                    "bias": _np(sd[f"{base}.{se}.3.bias"])}
+        for conv in ("conv1", "conv2"):
+            p_node[conv] = {"conv": {"kernel": _conv(sd[f"{base}.{conv}.0.weight"])}}
+            p_node[conv]["bn"], bn_s = _bn(sd, f"{base}.{conv}.1")
+            s_node[conv] = {"bn": bn_s}
+        params[f"block{i}"] = p_node
+        stats[f"block{i}"] = s_node
+
+    params["head"] = {"conv": {
+        "kernel": _conv(sd["segmentation_head.0.weight"]),
+        "bias": _np(sd["segmentation_head.0.bias"]),
+    }}
+    return params, stats
+
+
+def import_smp_segformer_state_dict(sd: Mapping[str, Any],
+                                    encoder_name: str = "mit_b2"
+                                    ) -> tuple[dict, dict]:
+    """Convert a complete ``smp.Segformer`` state dict (PKG-INFO Example 2's
+    architecture: ``Segformer + mit_b2``) into our
+    :class:`~mmr_tpu.models.decoders.SegformerModel` params/batch_stats.
+
+    smp naming: ``decoder.mlp_stage.{i}.linear`` (i=0 is the DEEPEST level;
+    ours are ``linear_c{4..1}`` shallowest-first), ``decoder.fuse_stage.0/.1``
+    (Conv2dReLU), ``segmentation_head.0`` (3×3 conv + ×4 UpsamplingBilinear2d).
+    """
+    enc_params, enc_stats = import_torch_state_dict(_split_encoder(sd),
+                                                    encoder_name)
+    params: dict = {"encoder": enc_params}
+    stats: dict = {"encoder": enc_stats}
+
+    n_lvls = len({int(k.split(".")[2]) for k in sd
+                  if k.startswith("decoder.mlp_stage.")})
+    for i in range(n_lvls):  # mlp_stage.0 == deepest == our linear_c{n}
+        params[f"linear_c{n_lvls - i}"] = _dense(sd, f"decoder.mlp_stage.{i}.linear")
+
+    fuse_p = {"conv": {"kernel": _conv(sd["decoder.fuse_stage.0.weight"])}}
+    fuse_p["bn"], fuse_bn_s = _bn(sd, "decoder.fuse_stage.1")
+    params["fuse"], stats["fuse"] = fuse_p, {"bn": fuse_bn_s}
+
+    params["head"] = {"conv": {
+        "kernel": _conv(sd["segmentation_head.0.weight"]),
+        "bias": _np(sd["segmentation_head.0.bias"]),
+    }}
+    return params, stats

@@ -109,13 +109,18 @@ def test_list_models_surface():
 # ------------------------------------------------------------------ importer
 
 class _TorchBasicBlock(tnn.Module):
-    """Oracle: torchvision BasicBlock semantics, written independently."""
+    """Oracle: torchvision BasicBlock semantics, written independently.
+    ``dilation`` mirrors smp's post-hoc ``replace_strides_with_dilation``
+    (every conv: stride 1, dilation d, padding (k//2)·d)."""
 
-    def __init__(self, cin, cout, stride):
+    def __init__(self, cin, cout, stride, dilation=1):
         super().__init__()
-        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        d = dilation
+        if d > 1:
+            stride = 1
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, d, dilation=d, bias=False)
         self.bn1 = tnn.BatchNorm2d(cout)
-        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, d, dilation=d, bias=False)
         self.bn2 = tnn.BatchNorm2d(cout)
         self.downsample = None
         if stride != 1 or cin != cout:
@@ -130,15 +135,17 @@ class _TorchBasicBlock(tnn.Module):
 
 
 class _TorchResNet18Encoder(tnn.Module):
-    def __init__(self):
+    def __init__(self, dilate_last=False):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
         self.maxpool = tnn.MaxPool2d(3, 2, 1)
         for i, ch in enumerate((64, 128, 256, 512)):
+            dil = 2 if (dilate_last and i == 3) else 1
             blocks = [
                 _TorchBasicBlock(64 if i == 0 else ch // 2 if b == 0 else ch,
-                                 ch, 2 if (b == 0 and i > 0) else 1)
+                                 ch, 2 if (b == 0 and i > 0) else 1,
+                                 dilation=dil)
                 for b in range(2)
             ]
             setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
@@ -685,3 +692,308 @@ def test_smp_unet_convnextv2_full_checkpoint_parity(rng):
         assert (ours.argmax(-1) == theirs.argmax(-1)).mean() == 1.0
     finally:
         ENCODERS.pop("_test_cnxt_small", None)
+
+# --------------------------------------- smp DeepLabV3+ / MAnet full parity
+
+class _TorchSeparableConv2d(tnn.Sequential):
+    """smp SeparableConv2d: depthwise (bias-free) then pointwise."""
+
+    def __init__(self, cin, cout, k=3, padding=0, dilation=1, bias=True):
+        super().__init__(
+            tnn.Conv2d(cin, cin, k, 1, padding, dilation, groups=cin,
+                       bias=False),
+            tnn.Conv2d(cin, cout, 1, bias=bias))
+
+
+class _TorchASPPPooling(tnn.Sequential):
+    def __init__(self, cin, cout):
+        super().__init__(tnn.AdaptiveAvgPool2d(1),
+                         tnn.Conv2d(cin, cout, 1, bias=False),
+                         tnn.BatchNorm2d(cout), tnn.ReLU())
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        y = x
+        for mod in self:
+            y = mod(y)
+        return tnn.functional.interpolate(y, size=size, mode="bilinear",
+                                          align_corners=False)
+
+
+class _TorchASPP(tnn.Module):
+    """smp ASPP (separable variant): 1x1, three ASPPSeparableConv, pooling,
+    project with Dropout(0.5)."""
+
+    def __init__(self, cin, cout=256, rates=(12, 24, 36)):
+        super().__init__()
+        convs = [tnn.Sequential(tnn.Conv2d(cin, cout, 1, bias=False),
+                                tnn.BatchNorm2d(cout), tnn.ReLU())]
+        for r in rates:
+            convs.append(tnn.Sequential(
+                _TorchSeparableConv2d(cin, cout, 3, padding=r, dilation=r,
+                                      bias=False),
+                tnn.BatchNorm2d(cout), tnn.ReLU()))
+        convs.append(_TorchASPPPooling(cin, cout))
+        self.convs = tnn.ModuleList(convs)
+        self.project = tnn.Sequential(
+            tnn.Conv2d(5 * cout, cout, 1, bias=False), tnn.BatchNorm2d(cout),
+            tnn.ReLU(), tnn.Dropout(0.5))
+
+    def forward(self, x):
+        return self.project(torch.cat([c(x) for c in self.convs], dim=1))
+
+
+class _TorchSmpDeepLabV3Plus(tnn.Module):
+    """Oracle: smp DeepLabV3Plus(resnet18) with all defaults — dilated
+    encoder at output_stride 16, separable ASPP, x4 UpsamplingBilinear2d
+    (align_corners=True), 48ch high-res projection, 1x1 head + x4 up
+    (the reference's smp_DeepLabV3+ zoo entry, ModelTraining.py:263-269)."""
+
+    def __init__(self, classes=7):
+        super().__init__()
+        self.encoder = _TorchResNet18Encoder(dilate_last=True)
+        self.decoder = tnn.Module()
+        self.decoder.aspp = tnn.Sequential(
+            _TorchASPP(512, 256),
+            _TorchSeparableConv2d(256, 256, 3, padding=1, bias=False),
+            tnn.BatchNorm2d(256), tnn.ReLU())
+        self.decoder.block1 = tnn.Sequential(
+            tnn.Conv2d(64, 48, 1, bias=False), tnn.BatchNorm2d(48),
+            tnn.ReLU())
+        self.decoder.block2 = tnn.Sequential(
+            _TorchSeparableConv2d(256 + 48, 256, 3, padding=1, bias=False),
+            tnn.BatchNorm2d(256), tnn.ReLU())
+        self.segmentation_head = tnn.Sequential(tnn.Conv2d(256, classes, 1))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        y = self.decoder.aspp(feats[-1])
+        y = tnn.functional.interpolate(y, scale_factor=4, mode="bilinear",
+                                       align_corners=True)
+        h = self.decoder.block1(feats[1])
+        y = self.decoder.block2(torch.cat([y, h], dim=1))
+        y = self.segmentation_head(y)
+        return tnn.functional.interpolate(y, scale_factor=4, mode="bilinear",
+                                          align_corners=True)
+
+
+def test_smp_deeplabv3plus_full_checkpoint_parity(rng):
+    """A complete smp-format DeepLabV3+ checkpoint imports via
+    import_smp_deeplabv3plus_state_dict and produces argmax-identical masks
+    (VERDICT r2 'do this' #3 stretch: the remaining Path-A zoo decoders get
+    the same numeric-oracle bar as UNet++/Unet). 224x224 input so the
+    dilated layer4 (d=2 @ 14x14) and the rate-12 atrous taps are actually
+    exercised, not padding-only."""
+    from mmr_tpu.models.decoders import DeepLabV3PlusModel
+    from mmr_tpu.models.pretrained import import_smp_deeplabv3plus_state_dict
+
+    torch.manual_seed(6)
+    oracle = _TorchSmpDeepLabV3Plus(classes=7).eval()
+    for m in oracle.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    sd = oracle.state_dict()
+
+    params, stats = import_smp_deeplabv3plus_state_dict(sd, "resnet18")
+    model = DeepLabV3PlusModel(num_classes=7, encoder_name="resnet18",
+                               dtype=F32)
+    x = rng.rand(1, 224, 224, 3).astype(np.float32)
+    init_vars = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                           train=False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, init_vars["params"])
+            == jax.tree_util.tree_map(lambda a: tuple(a.shape), params))
+
+    ours = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                  jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+    assert (ours.argmax(-1) == theirs.argmax(-1)).mean() == 1.0
+
+
+class _TorchPAB(tnn.Module):
+    """smp PAB oracle, including the global-softmax and raw-reshape quirks."""
+
+    def __init__(self, cin, pab=64):
+        super().__init__()
+        self.cin = cin
+        self.top_conv = tnn.Conv2d(cin, pab, 1)
+        self.center_conv = tnn.Conv2d(cin, pab, 1)
+        self.bottom_conv = tnn.Conv2d(cin, cin, 3, 1, 1)
+        self.map_softmax = tnn.Softmax(dim=1)
+        self.out_conv = tnn.Conv2d(cin, cin, 3, 1, 1)
+
+    def forward(self, x):
+        b, _, h, w = x.shape
+        xt = self.top_conv(x).flatten(2)
+        xc = self.center_conv(x).flatten(2).transpose(1, 2)
+        xb = self.bottom_conv(x).flatten(2).transpose(1, 2)
+        sp = torch.matmul(xc, xt)
+        sp = self.map_softmax(sp.view(b, -1)).view(b, h * w, h * w)
+        sp = torch.matmul(sp, xb)
+        sp = sp.reshape(b, self.cin, h, w)  # smp's axis-mixing raw reshape
+        return self.out_conv(x + sp)
+
+
+def _torch_c2r(ci, co, k):
+    return tnn.Sequential(tnn.Conv2d(ci, co, k, 1, k // 2, bias=False),
+                          tnn.BatchNorm2d(co), tnn.ReLU(inplace=True))
+
+
+class _TorchMFAB(tnn.Module):
+    def __init__(self, cin, cskip, cout, reduction=16):
+        super().__init__()
+        self.hl_conv = tnn.Sequential(_torch_c2r(cin, cin, 3),
+                                      _torch_c2r(cin, cskip, 1))
+        red = max(1, cskip // reduction)
+        se = lambda: tnn.Sequential(
+            tnn.AdaptiveAvgPool2d(1), tnn.Conv2d(cskip, red, 1),
+            tnn.ReLU(inplace=True), tnn.Conv2d(red, cskip, 1), tnn.Sigmoid())
+        self.SE_ll = se()
+        self.SE_hl = se()
+        self.conv1 = _torch_c2r(cskip * 2, cout, 3)
+        self.conv2 = _torch_c2r(cout, cout, 3)
+
+    def forward(self, x, skip):
+        x = self.hl_conv(x)
+        x = tnn.functional.interpolate(x, scale_factor=2, mode="nearest")
+        att = self.SE_hl(x) + self.SE_ll(skip)
+        x = torch.cat([x * att, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class _TorchSmpMAnet(tnn.Module):
+    """Oracle: smp MAnet(resnet18) with all defaults (the reference's
+    smp_MANet zoo entry, ModelTraining.py:270-278)."""
+
+    def __init__(self, classes=6, dec=(256, 128, 64, 32, 16)):
+        super().__init__()
+        self.encoder = _TorchResNet18Encoder()
+        skips = [256, 128, 64, 64, 0]
+        self.decoder = tnn.Module()
+        self.decoder.center = _TorchPAB(512)
+        blocks, cin = [], 512
+        for i, co in enumerate(dec):
+            blocks.append(_TorchMFAB(cin, skips[i], co) if skips[i]
+                          else _TorchSmpDecoderBlock(cin, 0, co))
+            cin = co
+        self.decoder.blocks = tnn.ModuleList(blocks)
+        self.segmentation_head = tnn.Sequential(
+            tnn.Conv2d(dec[-1], classes, 3, 1, 1))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        skips = feats[:-1][::-1] + [None]
+        y = self.decoder.center(feats[-1])
+        for i, blk in enumerate(self.decoder.blocks):
+            y = blk(y, skips[i])
+        return self.segmentation_head(y)
+
+
+def test_smp_manet_full_checkpoint_parity(rng):
+    """A complete smp-format MAnet checkpoint imports via
+    import_smp_manet_state_dict and produces argmax-identical masks —
+    specifically covering smp's PAB quirks (softmax over the flattened
+    hw x hw map; raw (b,hw,C)->(b,C,h,w) reshape) that a structure test
+    could never catch."""
+    from mmr_tpu.models.decoders import MAnetModel
+    from mmr_tpu.models.pretrained import import_smp_manet_state_dict
+
+    torch.manual_seed(7)
+    oracle = _TorchSmpMAnet(classes=6).eval()
+    for m in oracle.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    sd = oracle.state_dict()
+
+    params, stats = import_smp_manet_state_dict(sd, "resnet18")
+    model = MAnetModel(num_classes=6, encoder_name="resnet18", dtype=F32)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    init_vars = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                           train=False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, init_vars["params"])
+            == jax.tree_util.tree_map(lambda a: tuple(a.shape), params))
+
+    ours = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                  jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+    assert (ours.argmax(-1) == theirs.argmax(-1)).mean() == 1.0
+
+
+def test_smp_segformer_full_checkpoint_parity(rng):
+    """A complete smp-format Segformer(+mit_b0) checkpoint imports via
+    import_smp_segformer_state_dict and produces argmax-identical masks
+    (completes VERDICT r2 'do this' #3: the Segformer HEAD path — MLP
+    per-level projections, bilinear resizes to s4, Conv2dReLU fuse, 3x3 head
+    with x4 UpsamplingBilinear2d align_corners=True)."""
+    from mmr_tpu.models.decoders import SegformerModel
+    from mmr_tpu.models.pretrained import import_smp_segformer_state_dict
+
+    class _TorchMLP(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.linear = tnn.Linear(cin, cout)
+
+        def forward(self, x):
+            b, _, h, w = x.shape
+            y = self.linear(x.flatten(2).transpose(1, 2))
+            return y.transpose(1, 2).reshape(b, -1, h, w)
+
+    class _TorchSmpSegformer(tnn.Module):
+        def __init__(self, classes=7, seg_ch=256, dims=(32, 64, 160, 256)):
+            super().__init__()
+            self.encoder = _TorchMiTEncoder(dims=dims)
+            self.decoder = tnn.Module()
+            # mlp_stage.0 is the DEEPEST level (smp reverses the pyramid)
+            self.decoder.mlp_stage = tnn.ModuleList(
+                [_TorchMLP(c, seg_ch) for c in dims[::-1]])
+            self.decoder.fuse_stage = tnn.Sequential(
+                tnn.Conv2d(4 * seg_ch, seg_ch, 1, bias=False),
+                tnn.BatchNorm2d(seg_ch), tnn.ReLU(inplace=True))
+            self.segmentation_head = tnn.Sequential(
+                tnn.Conv2d(seg_ch, classes, 3, 1, 1))
+
+        def forward(self, x):
+            feats = self.encoder(x)[::-1]  # deepest first
+            target = feats[-1].shape[-2:]  # s4
+            proj = []
+            for i, mlp in enumerate(self.decoder.mlp_stage):
+                y = mlp(feats[i])
+                if y.shape[-2:] != target:
+                    y = tnn.functional.interpolate(
+                        y, size=target, mode="bilinear", align_corners=False)
+                proj.append(y)
+            y = self.decoder.fuse_stage(torch.cat(proj, dim=1))
+            y = self.segmentation_head(y)
+            return tnn.functional.interpolate(
+                y, scale_factor=4, mode="bilinear", align_corners=True)
+
+    torch.manual_seed(8)
+    oracle = _TorchSmpSegformer(classes=7).eval()
+    for m in oracle.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    sd = oracle.state_dict()
+
+    params, stats = import_smp_segformer_state_dict(sd, "mit_b0")
+    model = SegformerModel(num_classes=7, encoder_name="mit_b0", dtype=F32)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    init_vars = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                           train=False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, init_vars["params"])
+            == jax.tree_util.tree_map(lambda a: tuple(a.shape), params))
+
+    ours = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                  jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+    assert (ours.argmax(-1) == theirs.argmax(-1)).mean() == 1.0
