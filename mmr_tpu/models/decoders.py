@@ -413,7 +413,11 @@ class SegformerModel(nn.Module, _EncoderMixin):
     """Segformer: MiT (or any pyramid) encoder + all-MLP decode head
     (PKG-INFO Example 2 capability: ``--model_arch Segformer
     --model_encoder_name mit_b2``). Each pyramid level is linearly projected
-    to ``embed_dim``, upsampled to stride 4, concatenated, fused, headed."""
+    to ``embed_dim``, upsampled to stride 4, concatenated deepest-first,
+    fused (Conv2dReLU), headed (3×3 + ×4 align_corners=True) — smp-exact for
+    mit_b* encoders (full-checkpoint oracle in test_models.py). Note: smp
+    feeds 5 levels (incl. s2) for encoders with a real f1; this head takes
+    the last 4 — only the reference-published mit path is checkpoint-exact."""
 
     num_classes: int
     encoder_name: str = "mit_b2"
