@@ -1759,6 +1759,24 @@ def _in_group_shift(t, cp, k):
                      pltpu.roll(t, cp - k, ax))
 
 
+def _expm1_nonpos(x):
+    """``exp(x) - 1`` with full relative precision near 0, for x ≤ 0.
+
+    Mosaic has no TPU lowering for the ``expm1`` primitive (the interpret
+    mode used by the CPU tests accepts it — only a real-TPU compile trips),
+    so build it: a 5-term Taylor polynomial on (−1/8, 0] (truncation error
+    < |x|⁶/720 ≤ 5e-9 absolute, ~4e-8 relative at the boundary) and plain
+    ``exp(x) − 1`` below, where cancellation costs at most ~1e-6 relative.
+    The precision matters: the bwd kernel's CE gradient at the label lane is
+    expm1(logp), which must NOT collapse to 0.0 for confident pixels whose
+    f32 ``exp(logp)`` rounds to exactly 1.0 (|logp| < 2⁻²⁴)."""
+    small = x > -0.125
+    xs = jnp.where(small, x, -0.125)
+    p = xs * (1.0 + xs * (0.5 + xs * (1.0 / 6.0 + xs * (1.0 / 24.0
+                                                        + xs * (1.0 / 120.0)))))
+    return jnp.where(small, p, jnp.exp(x) - 1.0)
+
+
 def _group_max(x, cp):
     """Per-pixel(-group) max over the cp class lanes, broadcast back to every
     lane of its group, via a max butterfly of in-group cyclic lane shifts
@@ -2016,7 +2034,7 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
                                 preferred_element_type=jnp.float32)
     dacc = probs * (g_up - inner) \
         + dst_ref[0, 3][None, None, :] \
-        * jnp.where(onehot > 0.0, jnp.expm1(logp), probs)
+        * jnp.where(onehot > 0.0, _expm1_nonpos(logp), probs)
     dacc = jnp.where(valid, dacc, 0.0)
     dy_bf = dacc.astype(jnp.bfloat16)
     dy_int = dacc[1:1 + th, 1:1 + wb, :]

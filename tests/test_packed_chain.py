@@ -937,3 +937,20 @@ def test_stride2_down_taps_match_lax_conv(rng):
         [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(got, np.asarray(ref, np.float32),
                                atol=0.05, rtol=0.05)
+
+
+def test_expm1_nonpos_matches_numpy():
+    """The bwd head kernel's manual expm1 (Mosaic has no expm1 lowering;
+    only a real-TPU compile catches the primitive gap) must keep full
+    relative precision across the whole log-prob domain — in particular it
+    must NOT collapse to 0 where f32 exp(x) rounds to 1.0 (|x| < 2^-24),
+    the confident-pixel CE-gradient case the log-prob surface exists for."""
+    x = np.concatenate([-np.logspace(-30, 1.9, 300),
+                        [0.0, -0.125, -80.0]]).astype(np.float32)
+    got = np.asarray(pc._expm1_nonpos(jnp.asarray(x)), np.float64)
+    ref = np.expm1(x.astype(np.float64))
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-45)
+    rel[ref == 0] = np.abs(got[ref == 0])
+    assert rel.max() < 2e-6
+    # the tiny-|x| tail keeps its value instead of flushing to 0
+    assert got[0] != 0.0
