@@ -1681,8 +1681,8 @@ class HeadLossSpec:
     partials (for consumers that log loss only; the reference's train step
     does compute a per-batch IoU — ``Main_MMR_SegModel.py:712`` calls
     ``calculate_iou`` every step — so the production path keeps it on).
-    With conf on, the argmax/max is the bit-exact lane-roll butterfly
-    (:func:`_argmax_roll`); with conf off only the max is needed and it
+    With conf on, the argmax/max is the bit-exact int-key scheme
+    (:func:`_argmax_first`); with conf off only the max is needed and it
     comes from the MXU-matmul :func:`_group_max` butterfly (its roll-based
     variant measured ~18× slower — see that function's NOTE; the ~1-ulp
     matmul rounding is irrelevant for a softmax stabilizer).
@@ -1730,7 +1730,7 @@ def _loss_consts_np(p: int, cp: int):
     """S: (L, L) group-sum broadcast matrix (lane (q,i) sums into every lane
     of group q). The exponential sums are NOT idempotent, so the in-group
     broadcast stays a single MXU matmul (a roll butterfly is only exact for
-    power-of-two cp); max/argmax use :func:`_argmax_roll` instead."""
+    power-of-two cp); max/argmax use :func:`_argmax_first` instead."""
     import numpy as np
 
     l = p * cp
@@ -1783,10 +1783,10 @@ def _group_max(x, cp):
     (ceil(log2(cp)) permutation matmuls). MXU rounding (f32 dot_general
     ≈ bf16) only perturbs the shifted copies by ~1 ulp — irrelevant for
     softmax stabilization, which needs any value within ~80 of the true max.
-    NOTE measured on HW: a roll-based variant of this max-only butterfly
-    compiles to a ~18× slower program (24 ms vs 1.3 ms head fwd at 512²
-    b32) even though the (value, index) roll butterfly in
-    :func:`_argmax_roll` is fast — keep the matmul form here."""
+    NOTE measured on HW: a roll-based variant of this max-only F32 butterfly
+    compiles to a ~18× slower program (24 ms vs ~1.3 ms head fwd at 512²
+    b32) even though the same max-only butterfly on INT32 keys in
+    :func:`_argmax_first` is fast — keep the matmul form here."""
     l = x.shape[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
@@ -1804,26 +1804,68 @@ def _group_max(x, cp):
     return m
 
 
-def _argmax_roll(x, cp, clsv):
-    """Exact per-group ``(max, first-argmax)`` over the cp class lanes,
-    broadcast to every lane of the group, via a (value, index) max butterfly
-    of in-group cyclic lane rolls. The comparator takes the larger value and
-    breaks ties toward the smaller class index — exactly torch's
-    ``argmax(dim=1)`` first-max semantics (the reference's prediction surface,
-    ``Main_MMR_SegModel.py:709``). Rolls are bit-exact VPU rotations, so
-    unlike an MXU-matmul broadcast there is no rounding to corrupt the
-    comparisons; the returned max doubles as the per-pixel softmax
-    stabilizer."""
-    m, idx = x, clsv
+def _sortable_key(x):
+    """f32 → int32 monotone key (int order == float order), bit-exact.
+
+    Standard trick: positives keep their bit pattern; negatives get
+    ``~bits ^ INT_MIN`` (reverses their order and places them below all
+    positives in SIGNED int32 order). ``x + 0.0`` first normalizes −0.0 to
+    +0.0 so EQUAL floats always get EQUAL keys (−0/+0 would otherwise
+    split a torch-equality tie)."""
+    b = jax.lax.bitcast_convert_type(x + 0.0, jnp.int32)
+    return jnp.where(b >= 0, b,
+                     jnp.bitwise_xor(jnp.bitwise_not(b),
+                                     jnp.int32(-2147483648)))
+
+
+def _key_to_f32(k):
+    """Inverse of :func:`_sortable_key` (exact)."""
+    b = jnp.where(k >= 0, k,
+                  jnp.bitwise_not(jnp.bitwise_xor(k,
+                                                  jnp.int32(-2147483648))))
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _argmax_first(accm, cp, vmask):
+    """Exact per-group ``(max, first-argmax one-hot)`` over the cp class
+    lanes, broadcast to every lane of the group — torch's ``argmax(dim=1)``
+    first-max semantics (the reference's prediction surface,
+    ``Main_MMR_SegModel.py:709``).
+
+    Three exact stages, each cheaper than the old (value, index) roll
+    butterfly (measured 2.0→1.1 ms/call in the 512² b32 head fwd):
+    1. max-ONLY butterfly of in-group cyclic rolls on int32 monotone keys
+       (:func:`_sortable_key`) — rolls are bit-exact 32-bit VPU rotations
+       and int compares can't round, so the group max is exact;
+    2. ``tied = key == max_key`` marks ALL argmax-tied lanes exactly;
+    3. first-tie selection via an exclusive in-group prefix-sum MATMUL:
+       ``pre = tied_f32 · LT`` (LT strictly-lower-triangular per group) and
+       ``first = tied & (pre == 0)``. MXU f32 dot_generals round ≈ bf16
+       (CLAUDE.md), but the sums here are integers ≤ cp−1 ≤ 255, which
+       bf16 represents exactly — the round-2 HW-rounding trap does not
+       apply. Ties between EXACT f32 logits do occur in realistic states
+       (e.g. zero-init bias + dead features ⇒ all-equal logits), so the
+       first-tie rule is load-bearing for torch conf parity.
+
+    Returns ``(bv, first)``: the exact f32 group max (softmax stabilizer)
+    and the first-argmax one-hot as a bool mask (class-pad lanes excluded
+    by ``vmask`` upstream in the caller)."""
+    l = accm.shape[-1]
+    key = _sortable_key(accm)
+    mk = key
     k = 1
     while k < cp:
-        sm = _in_group_shift(m, cp, k)
-        sidx = _in_group_shift(idx, cp, k)
-        take = jnp.logical_or(sm > m, jnp.logical_and(sm == m, sidx < idx))
-        m = jnp.where(take, sm, m)
-        idx = jnp.where(take, sidx, idx)
+        mk = jnp.maximum(mk, _in_group_shift(mk, cp, k))
         k *= 2
-    return m, idx
+    tied = jnp.logical_and(vmask, key == mk)
+    row = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    lt = jnp.where(jnp.logical_and(row // cp == col // cp, row < col),
+                   1.0, 0.0)
+    pre = jax.lax.dot_general(jnp.where(tied, 1.0, 0.0), lt,
+                              (((accm.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return _key_to_f32(mk), jnp.logical_and(tied, pre == 0.0)
 
 
 def _head_softmax(acc, labs, sgrp, cp, nc, m):
@@ -1908,7 +1950,7 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
     clsv, vmask = _lane_class_masks((th, wb, lo), cp, nc)
     accm = jnp.where(vmask, acc, -1e30)
     if with_conf:
-        bv, bidx = _argmax_roll(accm, cp, clsv)
+        bv, first = _argmax_first(accm, cp, vmask)
     else:
         # no confusion wanted: max only (no index tracking)
         bv = _group_max(accm, cp)
@@ -1924,7 +1966,7 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
     stats_ref[0, 3, :] += jnp.sum(ce, axis=(0, 1))
 
     if with_conf:
-        pred_oh = jnp.where(jnp.logical_and(bidx == clsv, vmask), 1.0, 0.0)
+        pred_oh = jnp.where(first, 1.0, 0.0)
         conf_ref[:, :] += jax.lax.dot_general(
             pred_oh.reshape(th * wb, lo), onehot.reshape(th * wb, lo),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)

@@ -692,6 +692,33 @@ class TestFusedHeadLoss:
             err = np.abs(fa - ra).max() / np.abs(ra).max()
             assert err < 0.08, (n, err)
 
+    def test_all_equal_logits_argmax_first_class(self, rng):
+        """Exact-tie semantics: with zero weights/bias every pixel's logits
+        are ALL EQUAL, and torch's ``argmax(dim=1)`` picks the FIRST max —
+        class 0 — so the confusion matrix must put every pixel in row 0
+        (``Main_MMR_SegModel.py:709``). Exercises the first-tie selection
+        of the int-key argmax (``_argmax_first``): a mask of all tied lanes
+        without the exclusive-prefix filter would inflate every conf row.
+        This state is realistic (zero-init head + dead features)."""
+        g, B, CIN, NC, x, w3, bias, s, t, masks = self._setup(rng)
+        w3, bias = jnp.zeros_like(w3), jnp.zeros_like(bias)
+        spec = pc.HeadLossSpec(geom=g, l_in=g.lanes(CIN), nc=NC)
+        cp = g.cp(CIN)
+        pad = cp - CIN
+        pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g.p),
+                         jnp.tile(jnp.pad(t, (0, pad)), g.p)])
+        tee = _toeplitz(w3, g.p, cp, g.cp(NC))
+        lab = pc.pack_labels(masks, g, NC)
+        _, stats, conf = pc.fused_head_loss(
+            spec, pc.to_packed(x, g), tee, pro,
+            pc.bias_lanes(bias, g.p, g.cp(NC)), lab)
+        _, conf_c = pc.assemble_dice_ce(spec, stats, conf, B * g.h * g.w)
+        conf_c = np.asarray(conf_c)
+        want = np.zeros((NC, NC))
+        for c in range(NC):
+            want[0, c] = int((np.asarray(masks) == c).sum())
+        np.testing.assert_array_equal(conf_c, want)
+
     def test_with_conf_false_same_loss_zero_conf(self, rng):
         """with_conf=False drops the in-kernel argmax index tracking and
         confusion partials (the max-only butterfly still stabilizes the
