@@ -35,13 +35,23 @@ from mmr_tpu.ops.pallas import packed_chain as pc
 
 
 def image_geom(h: int, w: int) -> pc.RowGeom | None:
-    """Packing geometry for the 3-channel input image: p=16 (cp(3)=8 →
-    128 lanes) so the stem's stride-2 destination lands at p=8 — the decoder's
-    native packing for the stride-2 skip row."""
+    """Packing geometry for the 3-channel input image: p=32 (cp(3)=4 →
+    128 lanes), which is BIT-IDENTICAL to channel-padded NHWC (lane =
+    q·4 + c), so ``to_packed`` lowers to pads only — no lane shuffle and a
+    4/3 surface instead of the 8/3 a p=16/cp=8 packing costs. The stem runs
+    as a phases=2 ``fused_conv_down`` whose output lands directly in the
+    decoder-native p=8 geometry."""
     if w % 16 or (w // 16) % 8 or w // 16 < 8 or h % 4:
         return None
+    wb = w // 32
+    return pc.RowGeom(h, w, 32, wb, pc._round_up(wb + 2, 8))
+
+
+def stem_geom(h: int, w: int) -> pc.RowGeom:
+    """Real (decoder-native) p=8 destination geometry of the phases=2 stem
+    for an (h, w) input image."""
     wb = w // 16
-    return pc.RowGeom(h, w, 16, wb, pc._round_up(wb + 2, 8))
+    return pc.RowGeom(h // 2, w // 2, 8, wb, pc._round_up(wb + 2, 8))
 
 
 def down_geom(g: pc.RowGeom) -> pc.RowGeom:
@@ -102,7 +112,7 @@ def packed_stem(parent, x, train: bool = False) -> PackedT:
     g_img = image_geom(h, w)
     assert g_img is not None, \
         f"packed stem needs w a multiple of 128 (got input {x.shape})"
-    g1 = down_geom(g_img)
+    g1 = stem_geom(h, w)
     kernel = _KParam((3, 3, 3, 16), name="conv_stem")()
     cop = g1.cp(16)
     emit = bool(train)

@@ -113,17 +113,17 @@ def choose_th(h: int, vmem_cost_fn) -> int | None:
 def to_packed(x, g: RowGeom):
     """(B,H,W,C) -> packed-halo (B, H+2, wbp, p*cp) bf16.
 
-    Pads rows + the W/block extent FIRST (narrow-channel surface) and the
-    lane channels LAST, so the full packed surface is written once — the
-    previous channel-pad-then-block-pad order wrote it twice (two ~200 MB
-    XLA pad passes at the 512² image geometry, visible as pad.0/pad.1 in the
-    step trace)."""
+    ``w == wb·p`` exactly, so the W→(block, pixel) split is a FREE row-major
+    bitcast and the row halo, block halo/pad and channel pad land in ONE
+    XLA pad (single pass over the packed surface). The previous
+    pixel-pad→reshape→channel-pad→reshape chain materialized ~3 separate
+    data-formatting passes (~2.6 ms/step at 512² b32 across the step's
+    to_packed sites in the r3 trace)."""
     b, h, w, c = x.shape
     cp = g.cp(c)
-    x = jnp.pad(x.astype(jnp.bfloat16),
-                [(0, 0), (1, 1), (g.p, (g.wbp - g.wb - 1) * g.p), (0, 0)])
-    x = x.reshape(b, h + 2, g.wbp, g.p, c)
-    x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, 0), (0, cp - c)])
+    x = x.astype(jnp.bfloat16).reshape(b, h, w // g.p, g.p, c)
+    x = jnp.pad(x, [(0, 0), (1, 1), (1, g.wbp - g.wb - 1), (0, 0),
+                    (0, cp - c)])
     return x.reshape(b, h + 2, g.wbp, g.p * cp)
 
 
@@ -1193,14 +1193,20 @@ def _down_scatter_np(p_s: int, p_d: int):
     return m
 
 
-def toeplitz_down(w3, g_src: RowGeom, g_dst: RowGeom):
+def toeplitz_down(w3, g_src: RowGeom, g_dst: RowGeom, cop: int | None = None):
     """(3,3,Cin,Cout) -> (3, 2, L_src, L_dst) bf16 stride-2 taps, indexed by
     (row tap a, src-block offset δ+1). Consumer contraction:
     ``y[r_d] = Σ_{a,δ} x_parity_view_a[r_d, blocks+δ] @ T[a, δ+1]`` where
-    ``x_parity_view_a[r_d] = x_halo[2·r_d + a]``."""
+    ``x_parity_view_a[r_d] = x_halo[2·r_d + a]``.
+
+    ``cop`` overrides the per-pixel output channel-slot count (the phase-split
+    path builds taps against the VIRTUAL dst geometry but must keep the REAL
+    dst geometry's cp so the 128-lane tap halves are exact dst blocks)."""
     cin, cout = w3.shape[2], w3.shape[3]
     p_s, p_d = g_src.p, g_dst.p
-    cp_s, cop = g_src.cp(cin), g_dst.cp(cout)
+    cp_s = g_src.cp(cin)
+    if cop is None:
+        cop = g_dst.cp(cout)
     m = jnp.asarray(_down_scatter_np(p_s, p_d))
     t = jnp.einsum("xdsq,axio->adsiqo", m, w3.astype(jnp.float32))
     t = jnp.pad(t, [(0, 0), (0, 0), (0, 0), (0, cp_s - cin), (0, 0),
@@ -1208,11 +1214,14 @@ def toeplitz_down(w3, g_src: RowGeom, g_dst: RowGeom):
     return t.reshape(3, 2, p_s * cp_s, p_d * cop).astype(jnp.bfloat16)
 
 
-def fold_down_dw(d, w_shape, g_src: RowGeom, g_dst: RowGeom):
+def fold_down_dw(d, w_shape, g_src: RowGeom, g_dst: RowGeom,
+                 cop: int | None = None):
     """Adjoint of :func:`toeplitz_down`: (3, 2, L_src, L_dst) tap grads →
     (3, 3, Cin, Cout) kernel grads."""
     _, _, cin, cout = w_shape
-    cp_s, cop = g_src.cp(cin), g_dst.cp(cout)
+    cp_s = g_src.cp(cin)
+    if cop is None:
+        cop = g_dst.cp(cout)
     m = jnp.asarray(_down_scatter_np(g_src.p, g_dst.p))
     dd = d.reshape(3, 2, g_src.p, cp_s, g_dst.p, cop)[:, :, :, :cin, :, :cout]
     return jnp.einsum("xdsq,adsiqo->axio", m, dd)
@@ -1230,10 +1239,22 @@ def _halo_mask_at(row0, nrows, wb, wbp, hmax):
 class DownCfg:
     """Static config of one fused stride-2 packed conv (hashable).
 
-    Geometry contract (:func:`toeplitz_down`): ``p_src == 2·p_dst`` and equal
-    block counts, so column taps are plain δ ∈ {-1, 0} block shifts and row
-    taps are the three parity views ``x[2·r_d + a]`` of the halo'd source
-    tile. Round-3 packed encoder front-end (docs/PERF.md handoff); reference
+    Geometry contract (:func:`toeplitz_down`), two modes on
+    ``phases = g_src.p // (2·g_dst.p)``:
+
+    - ``phases == 1`` (p halves, equal block counts): column taps are plain
+      δ ∈ {-1, 0} src-block shifts and row taps are the three parity views
+      ``x[2·r_d + a]`` of the halo'd source tile.
+    - ``phases == 2`` (p quarters, dst has 2× the blocks): taps are built
+      against the VIRTUAL geometry ``p_v = g_src.p/2`` whose 2·lo lanes are
+      exactly two consecutive dst blocks (lane q_v·cp+c with q_v ∈ [0, 2p));
+      the kernel contracts each 128-lane tap half separately and interleaves
+      the two per-phase accumulators into dst block order. This lets a
+      p=32/cp=4 packed image (which is bit-identical to channel-padded NHWC,
+      so packing it costs only pads) feed the stem while the output lands
+      directly in the decoder-native p=8 geometry.
+
+    Round-3 packed encoder front-end (docs/PERF.md handoff); reference
     semantics: timm mobilenetv3 stride-2 convs (stem `conv_stem`, depthwise
     `conv_dw`), consumed by smp's TimmUniversalEncoder at
     ``Main_MMR_SegModel.py:589``."""
@@ -1248,22 +1269,44 @@ class DownCfg:
     need_dx: bool = True
 
     def __post_init__(self):
-        assert self.g_src.p == 2 * self.g_dst.p, (self.g_src, self.g_dst)
-        assert self.g_src.wb == self.g_dst.wb
+        s = self.phases
+        assert s in (1, 2), (self.g_src, self.g_dst)
+        assert self.g_src.wb * s == self.g_dst.wb
         assert self.g_src.h == 2 * self.g_dst.h
         assert self.g_src.w == 2 * self.g_dst.w
+        assert self.lo % self.g_dst.p == 0
+
+    @property
+    def phases(self) -> int:
+        return self.g_src.p // (2 * self.g_dst.p)
+
+    @property
+    def g_virt(self) -> RowGeom:
+        """Tap-construction geometry: dst resolution at ``2·g_dst.p`` whose
+        lane blocks are ``phases`` consecutive dst blocks (identity when
+        phases == 1)."""
+        if self.phases == 1:
+            return self.g_dst
+        return RowGeom(self.g_dst.h, self.g_dst.w, 2 * self.g_dst.p,
+                       self.g_src.wb, self.g_src.wbp)
 
     def vmem(self, th: int, backward: bool) -> int:
+        s = self.phases
         ws, wd = self.g_src.wbp, self.g_dst.wbp
         tiles = 2 * (2 * th + 2) * ws * self.l_in * 2      # src double-buffer
-        taps = 6 * self.l_in * self.lo * 2
+        taps = 6 * self.l_in * self.lo * s * 2
         if not backward:
             act = (2 * th + 2) * ws * self.l_in * 4        # prologue f32 temp
             acc = th * self.g_dst.wb * self.lo * 4
             stage = 2 * th * wd * self.lo * 2 + wd * self.lo * 2
             return tiles + taps + act + acc + stage
-        tiles += 2 * (th + 2) * wd * self.lo * 2 * (1 + int(self.emit_moments))
-        dts = 6 * self.l_in * self.lo * 4
+        if s == 1:
+            tiles += 2 * (th + 2) * wd * self.lo * 2 \
+                * (1 + int(self.emit_moments))
+        else:   # aligned pair view; no y tile (correction pre-applied in XLA)
+            tiles += 2 * (th + 2) * _round_up(self.g_src.wb + 2, 8) \
+                * 2 * self.lo * 2
+        dts = 6 * self.l_in * self.lo * s * 4
         act = (2 * th + 2) * ws * self.l_in * 4
         acc = 2 * th * self.g_src.wb * self.l_in * 4 \
             + (th + 2) * wd * self.lo * 4
@@ -1278,7 +1321,8 @@ class DownCfg:
 
 def _down_fwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
     g_s, g_d = cfg.g_src, cfg.g_dst
-    wb, wbp_s, wbp_d = g_d.wb, g_s.wbp, g_d.wbp
+    s = cfg.phases
+    wbs, wbd, wbp_s, wbp_d = g_s.wb, g_d.wb, g_s.wbp, g_d.wbp
     r = list(refs)
     x_hbm, t_ref = r.pop(0), r.pop(0)
     pro_ref = r.pop(0) if cfg.pro else None
@@ -1322,22 +1366,32 @@ def _down_fwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
     in_dma(k % 2, k).wait()
     tile = xt[k % 2]
     if cfg.pro:
-        valid_s = _halo_mask_at(2 * i * th, 2 * th + 2, wb, wbp_s,
+        valid_s = _halo_mask_at(2 * i * th, 2 * th + 2, wbs, wbp_s,
                                 2 * n_i * th)
         tile = _prologue(tile, pro_ref, valid_s, cfg.pro)
-    acc = jnp.zeros((th, wb, cfg.lo), jnp.float32)
+    accs = [jnp.zeros((th, wbs, cfg.lo), jnp.float32) for _ in range(s)]
     for a in range(3):
         # row parity view: dst row r_d reads src halo'd row 2·r_d + a
         va = tile[a:a + 2 * th].reshape(th, 2, wbp_s, cfg.l_in)[:, 0]
         for d in (-1, 0):
-            acc += jax.lax.dot_general(
-                va[:, d + 1:d + 1 + wb, :], t_ref[a, d + 1],
-                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            xa = va[:, d + 1:d + 1 + wbs, :]
+            for ph in range(s):
+                if ph == 1 and d == -1:
+                    continue    # δ=-1 only feeds virtual out px 0 (phase 0)
+                t_ph = (t_ref[a, d + 1] if s == 1 else
+                        t_ref[a, d + 1, :, ph * cfg.lo:(ph + 1) * cfg.lo])
+                accs[ph] += jax.lax.dot_general(
+                    xa, t_ph, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
     if cfg.has_bias:
-        acc = acc + bias_ref[0][None, None, :]
+        accs = [acc + bias_ref[0][None, None, :] for acc in accs]
     if cfg.emit_moments:
-        mom[0, :] += jnp.sum(acc, axis=(0, 1))
-        mom[1, :] += jnp.sum(acc * acc, axis=(0, 1))
+        for acc in accs:
+            mom[0, :] += jnp.sum(acc, axis=(0, 1))
+            mom[1, :] += jnp.sum(acc * acc, axis=(0, 1))
+    # interleave the per-phase accumulators into dst block order
+    acc = (accs[0] if s == 1
+           else jnp.stack(accs, axis=2).reshape(th, wbd, cfg.lo))
 
     slot = k % 2
 
@@ -1346,7 +1400,7 @@ def _down_fwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
         _wait_copy(ystage.at[slot], outsem.at[slot])
 
     ystage[slot] = jnp.pad(
-        acc.astype(jnp.bfloat16), [(0, 0), (1, wbp_d - wb - 1), (0, 0)])
+        acc.astype(jnp.bfloat16), [(0, 0), (1, wbp_d - wbd - 1), (0, 0)])
     pltpu.make_async_copy(
         ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
         outsem.at[slot]).start()
@@ -1363,21 +1417,33 @@ def _down_bwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
     parity views with dy (6 products); dx uses the TRANSPOSED taps with the
     stride-2 scatter inverted: even src rows receive only the center row tap
     from dy[t], odd src rows receive taps 0/2 from dy[t+1]/dy[t] — two
-    row-interleaved accumulators merged by an untiled stack+reshape."""
+    row-interleaved accumulators merged by an untiled stack+reshape.
+
+    phases == 2: dy arrives as the halo-ALIGNED PAIR view built by
+    ``_down_bwd_call`` in XLA — pair column 1+v holds real dst blocks
+    (2v, 2v+1) in its two 128-lane halves, pre-masked and (for
+    emit_moments) pre-corrected — so every per-phase view is a static
+    lane/sublane slice (Mosaic has no strided sublane slicing, and a raw
+    ``wbp_d/2`` pair DMA violates the ×8 sublane-extent rule). dW
+    accumulates a lane-concat of the per-phase products; dx sums both
+    phases' transposed-tap products (the column shift δ is in SRC blocks
+    = pair columns)."""
     g_s, g_d = cfg.g_src, cfg.g_dst
-    wb, wbp_s, wbp_d = g_d.wb, g_s.wbp, g_d.wbp
+    s = cfg.phases
+    corr = cfg.emit_moments and s == 1     # s=2 pre-corrects dy in XLA
+    wbs, wbd, wbp_s, wbp_d = g_s.wb, g_d.wb, g_s.wbp, g_d.wbp
     r = list(refs)
     dy_hbm = r.pop(0)
-    y_hbm = r.pop(0) if cfg.emit_moments else None
+    y_hbm = r.pop(0) if corr else None
     x_hbm, tt_ref = r.pop(0), r.pop(0)
     pro_ref = r.pop(0) if cfg.pro else None
-    dm = r.pop(0) if cfg.emit_moments else None
+    dm = r.pop(0) if corr else None
     dx_hbm = r.pop(0) if cfg.need_dx else None
     dt_ref = r.pop(0)
     dpro_ref = r.pop(0) if cfg.pro else None
     dbias_ref = r.pop(0) if cfg.has_bias else None
     dyt = r.pop(0)
-    yt = r.pop(0) if cfg.emit_moments else None
+    yt = r.pop(0) if corr else None
     xt = r.pop(0)
     dxstage = r.pop(0) if cfg.need_dx else None
     zstage = r.pop(0) if cfg.need_dx else None
@@ -1395,9 +1461,9 @@ def _down_bwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
 
     def start_all(slot, kk):
         dma(dy_hbm, dyt, 0, slot, kk, th + 2, th).start()
-        if cfg.emit_moments:
+        if corr:
             dma(y_hbm, yt, 1, slot, kk, th + 2, th).start()
-        dma(x_hbm, xt, 1 + int(cfg.emit_moments), slot, kk, 2 * th + 2,
+        dma(x_hbm, xt, 1 + int(corr), slot, kk, 2 * th + 2,
             2 * th).start()
 
     @pl.when(k == 0)
@@ -1429,25 +1495,33 @@ def _down_bwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
             bot.wait()
 
     slot = k % 2
-    valid_d = _halo_mask_at(i * th, th + 2, wb, wbp_d, n_i * th)
+    lo = cfg.lo
     dma(dy_hbm, dyt, 0, slot, k, th + 2, th).wait()
     dy_tile = dyt[slot].astype(jnp.float32)
-    if cfg.emit_moments:
+    if corr:
+        valid_d = _halo_mask_at(i * th, th + 2, wbd, wbp_d, n_i * th)
         dma(y_hbm, yt, 1, slot, k, th + 2, th).wait()
         corrected = dy_tile + dm[0][None, None, :] \
             + 2.0 * yt[slot].astype(jnp.float32) * dm[1][None, None, :]
         dy_tile = jnp.where(valid_d, corrected, 0.0)
     dy_bf = dy_tile.astype(jnp.bfloat16)
-    dy_int = dy_tile[1:1 + th, 1:1 + wb, :]
-    dy_flat = dy_int.astype(jnp.bfloat16).reshape(th * wb, cfg.lo)
+    if s == 1:
+        dy_ints = [dy_tile[1:1 + th, 1:1 + wbd, :]]
+    else:
+        # aligned PAIR view (th+2, pair_wbp, 2·lo): pair col 1+v = real dst
+        # blocks (2v, 2v+1) in its lane halves, pre-masked/corrected by XLA.
+        dy_ints = [dy_tile[1:1 + th, 1:1 + wbs, :lo],
+                   dy_tile[1:1 + th, 1:1 + wbs, lo:]]
+    dy_flats = [v.astype(jnp.bfloat16).reshape(th * wbs, lo)
+                for v in dy_ints]
     if cfg.has_bias:
-        dbias_ref[0, :] += jnp.sum(dy_int, axis=(0, 1))
+        dbias_ref[0, :] += sum(jnp.sum(v, axis=(0, 1)) for v in dy_ints)
 
-    dma(x_hbm, xt, 1 + int(cfg.emit_moments), slot, k, 2 * th + 2,
+    dma(x_hbm, xt, 1 + int(corr), slot, k, 2 * th + 2,
         2 * th).wait()
     x_tile = xt[slot]
     if cfg.pro:
-        valid_s = _halo_mask_at(2 * i * th, 2 * th + 2, wb, wbp_s,
+        valid_s = _halo_mask_at(2 * i * th, 2 * th + 2, wbs, wbp_s,
                                 2 * n_i * th)
         a_tile = _prologue(x_tile, pro_ref, valid_s, cfg.pro)
     else:
@@ -1456,30 +1530,44 @@ def _down_bwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
     for a in range(3):
         va = a_tile[a:a + 2 * th].reshape(th, 2, wbp_s, cfg.l_in)[:, 0]
         for d in (-1, 0):
-            a2 = va[:, d + 1:d + 1 + wb, :].reshape(th * wb, cfg.l_in)
-            dt_ref[a, d + 1] += jax.lax.dot_general(
-                a2, dy_flat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            a2 = va[:, d + 1:d + 1 + wbs, :].reshape(th * wbs, cfg.l_in)
+            for ph in range(s):
+                if ph == 1 and d == -1:
+                    continue    # δ=-1 only feeds virtual out px 0 (phase 0)
+                prod = jax.lax.dot_general(
+                    a2, dy_flats[ph], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if s == 1:
+                    dt_ref[a, d + 1] += prod
+                else:
+                    dt_ref[a, d + 1, :, ph * lo:(ph + 1) * lo] += prod
 
     if cfg.need_dx:
-        ge = jnp.zeros((th, wb, cfg.l_in), jnp.float32)
-        go = jnp.zeros((th, wb, cfg.l_in), jnp.float32)
+        ge = jnp.zeros((th, wbs, cfg.l_in), jnp.float32)
+        go = jnp.zeros((th, wbs, cfg.l_in), jnp.float32)
         for d in (-1, 0):
-            dye = dy_bf[1:1 + th, 1 - d:1 - d + wb, :]    # dy interior row t
-            dyo = dy_bf[2:2 + th, 1 - d:1 - d + wb, :]    # dy interior t+1
-            ge += jax.lax.dot_general(
-                dye, tt_ref[1, d + 1], (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            go += jax.lax.dot_general(
-                dyo, tt_ref[0, d + 1], (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            go += jax.lax.dot_general(
-                dye, tt_ref[2, d + 1], (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        ga = jnp.stack([ge, go], axis=1).reshape(2 * th, wb, cfg.l_in)
+            for ph in range(s):
+                if ph == 1 and d == -1:
+                    continue
+                lsl = slice(0, lo * s) if s == 1 else \
+                    slice(ph * lo, (ph + 1) * lo)
+                dye = dy_bf[1:1 + th, 1 - d:1 - d + wbs, lsl]  # dy row t
+                dyo = dy_bf[2:2 + th, 1 - d:1 - d + wbs, lsl]  # dy row t+1
+                tta = (lambda a_: tt_ref[a_, d + 1] if s == 1 else
+                       tt_ref[a_, d + 1, ph * lo:(ph + 1) * lo, :])
+                ge += jax.lax.dot_general(
+                    dye, tta(1), (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                go += jax.lax.dot_general(
+                    dyo, tta(0), (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                go += jax.lax.dot_general(
+                    dye, tta(2), (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        ga = jnp.stack([ge, go], axis=1).reshape(2 * th, wbs, cfg.l_in)
         if cfg.pro:
             ga, dp0, dp1 = _prologue_bwd(
-                ga, x_tile[1:1 + 2 * th, 1:1 + wb, :], pro_ref, cfg.pro)
+                ga, x_tile[1:1 + 2 * th, 1:1 + wbs, :], pro_ref, cfg.pro)
             dpro_ref[0, :] += dp0
             dpro_ref[1, :] += dp1
 
@@ -1488,7 +1576,7 @@ def _down_bwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
             _wait_copy(dxstage.at[slot], outsem.at[slot])
 
         dxstage[slot] = jnp.pad(
-            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp_s - wb - 1), (0, 0)])
+            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp_s - wbs - 1), (0, 0)])
         pltpu.make_async_copy(
             dxstage.at[slot], dx_hbm.at[b, pl.ds(2 * i * th + 1, 2 * th)],
             outsem.at[slot]).start()
@@ -1507,8 +1595,10 @@ def _down_fwd_call(cfg: DownCfg, x, w3, pro, bias):
     n_b = x.shape[0]
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    taps = toeplitz_down(w3, cfg.g_src, g_d)
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY), const((3, 2, cfg.l_in, cfg.lo))]
+    s = cfg.phases
+    taps = toeplitz_down(w3, cfg.g_src, cfg.g_virt, cop=cfg.lo // g_d.p)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                const((3, 2, cfg.l_in, s * cfg.lo))]
     args = [x, taps]
     if cfg.pro:
         in_specs.append(const((2, cfg.l_in)))
@@ -1551,20 +1641,43 @@ def _down_bwd_call(cfg: DownCfg, x, w3, pro, y, dy, dmom):
     n_b = x.shape[0]
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    taps = toeplitz_down(w3, g_s, g_d)
-    tt = jnp.swapaxes(taps, 2, 3)                  # (3, 2, Lo, L_in)
+    s = cfg.phases
+    corr = cfg.emit_moments and s == 1
+    taps = toeplitz_down(w3, g_s, cfg.g_virt, cop=cfg.lo // g_d.p)
+    tt = jnp.swapaxes(taps, 2, 3)                  # (3, 2, s·Lo, L_in)
+    if s == 2:
+        # Halo-ALIGNED pair view: pair col 1+v holds real dst interior
+        # blocks (2v, 2v+1) in its 128-lane halves, masked (+ corrected by
+        # the moments cotangent when emitting) — all elementwise/reshape/pad,
+        # so XLA fuses it into the add-fusion that produced dy. A raw
+        # bit-reshape of the dst surface is NOT DMA-able (its wbp/2 pair
+        # width breaks the ×8 sublane-extent rule) and leaves the halo
+        # column straddling a pair.
+        if cfg.emit_moments:
+            rows = jnp.arange(g_d.h + 2)[None, :, None, None]
+            valid = (rows >= 1) & (rows <= g_d.h)
+            dy = jnp.where(
+                valid,
+                dy.astype(jnp.float32) + dmom[0]
+                + 2.0 * y.astype(jnp.float32) * dmom[1],
+                0.0).astype(jnp.bfloat16)
+        pair_wbp = _round_up(g_s.wb + 2, 8)
+        dy = dy[:, :, 1:1 + g_d.wb, :].reshape(
+            n_b, g_d.h + 2, g_s.wb, 2 * cfg.lo)
+        dy = jnp.pad(dy, [(0, 0), (0, 0), (1, pair_wbp - g_s.wb - 1),
+                          (0, 0)])
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [dy]
-    if cfg.emit_moments:
+    if corr:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(y)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY),
-                 const((3, 2, cfg.lo, cfg.l_in))]
+                 const((3, 2, s * cfg.lo, cfg.l_in))]
     args += [x, tt]
     if cfg.pro:
         in_specs.append(const((2, cfg.l_in)))
         args.append(pro.astype(jnp.float32))
-    if cfg.emit_moments:
+    if corr:
         in_specs.append(const((2, cfg.lo)))
         args.append(dmom.astype(jnp.float32))
     out_shape, out_specs = [], []
@@ -1572,18 +1685,20 @@ def _down_bwd_call(cfg: DownCfg, x, w3, pro, y, dy, dmom):
         out_shape.append(jax.ShapeDtypeStruct(
             (n_b, g_s.h + 2, g_s.wbp, cfg.l_in), jnp.bfloat16))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    out_shape.append(jax.ShapeDtypeStruct((3, 2, cfg.l_in, cfg.lo),
+    out_shape.append(jax.ShapeDtypeStruct((3, 2, cfg.l_in, s * cfg.lo),
                                           jnp.float32))
-    out_specs.append(const((3, 2, cfg.l_in, cfg.lo)))
+    out_specs.append(const((3, 2, cfg.l_in, s * cfg.lo)))
     if cfg.pro:
         out_shape.append(jax.ShapeDtypeStruct((2, cfg.l_in), jnp.float32))
         out_specs.append(const((2, cfg.l_in)))
     if cfg.has_bias:
         out_shape.append(jax.ShapeDtypeStruct((1, cfg.lo), jnp.float32))
         out_specs.append(const((1, cfg.lo)))
-    scratch = [pltpu.VMEM((2, th + 2, g_d.wbp, cfg.lo), jnp.bfloat16)]
-    if cfg.emit_moments:
-        scratch.append(pltpu.VMEM((2, th + 2, g_d.wbp, cfg.lo), jnp.bfloat16))
+    dyt_shape = ((2, th + 2, g_d.wbp, cfg.lo) if s == 1
+                 else (2, th + 2, _round_up(g_s.wb + 2, 8), 2 * cfg.lo))
+    scratch = [pltpu.VMEM(dyt_shape, jnp.bfloat16)]
+    if corr:
+        scratch.append(pltpu.VMEM(dyt_shape, jnp.bfloat16))
     scratch.append(pltpu.VMEM((2, 2 * th + 2, g_s.wbp, cfg.l_in),
                               jnp.bfloat16))
     if cfg.need_dx:
@@ -1591,7 +1706,7 @@ def _down_bwd_call(cfg: DownCfg, x, w3, pro, y, dy, dmom):
                                   jnp.bfloat16))
         scratch.append(pltpu.VMEM((1, g_s.wbp, cfg.l_in), jnp.bfloat16))
     scratch += [
-        pltpu.SemaphoreType.DMA((2 + int(cfg.emit_moments), 2)),
+        pltpu.SemaphoreType.DMA((2 + int(corr), 2)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -1632,7 +1747,8 @@ def _fused_conv_down_bwd(cfg, res, cot):
     if cfg.emit_moments and dmom is None:
         dmom = jnp.zeros((2, cfg.lo), jnp.float32)
     dx, dt, dpro, dbias = _down_bwd_call(cfg, x, w3, pro, y, dy, dmom)
-    dw3 = fold_down_dw(dt, w3.shape, cfg.g_src, cfg.g_dst)
+    dw3 = fold_down_dw(dt, w3.shape, cfg.g_src, cfg.g_virt,
+                       cop=cfg.lo // cfg.g_dst.p)
     if dx is None:
         dx = jnp.zeros_like(x)  # non-diff input (e.g. the image); XLA DCEs
     return dx, dw3, dpro, dbias

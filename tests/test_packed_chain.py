@@ -943,6 +943,148 @@ class TestFusedConvDown:
             assert err < 0.08, (n, err)
 
 
+class TestFusedConvDownPhases2:
+    """phases=2 fused_conv_down (p quarters: p=32/cp=4 src → p=8 dst with 2×
+    the blocks — the stem's direct-to-decoder-native path) vs the XLA
+    oracle. Exercises the per-phase tap halves, the interleaved staging, and
+    the bwd's PAIR-view phase splits."""
+
+    def _geoms(self, h=16, w=64):
+        wbs, wbd = w // 32, w // 16
+        return (pc.RowGeom(h, w, 32, wbs, pc._round_up(wbs + 2, 8)),
+                pc.RowGeom(h // 2, w // 2, 8, wbd, pc._round_up(wbd + 2, 8)))
+
+    def _oracle(self, x, w3, bias=None):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16).astype(jnp.float32),
+            w3.astype(jnp.bfloat16).astype(jnp.float32), (2, 2),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y if bias is None else y + bias
+
+    def test_stem_config_fwd_moments_dw(self, rng):
+        """The exact stem shape of the production path: CIN=3, CO=16,
+        pro=None, emit_moments=True, need_dx=False; values, moments, dW."""
+        g_src, g_dst = self._geoms()
+        B, CIN, CO = 2, 3, 16
+        assert pc.DownCfg(g_src=g_src, g_dst=g_dst, l_in=g_src.lanes(CIN),
+                          lo=g_dst.lanes(CO), pro=None, has_bias=False,
+                          emit_moments=True, need_dx=False).phases == 2
+        x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, CIN).astype(np.float32))
+        w3 = jnp.asarray(rng.randn(3, 3, CIN, CO).astype(np.float32) * 0.3)
+        r = jnp.asarray(rng.randn(B, g_dst.h, g_dst.w, CO).astype(np.float32))
+        q = jnp.asarray(rng.randn(2, CO).astype(np.float32))
+        cfg = pc.DownCfg(g_src=g_src, g_dst=g_dst, l_in=g_src.lanes(CIN),
+                         lo=g_dst.lanes(CO), pro=None, has_bias=False,
+                         emit_moments=True, need_dx=False)
+        cop = g_dst.cp(CO)
+
+        def fused(w3):
+            y_p, mom = pc.fused_conv_down(cfg, pc.to_packed(x, g_src), w3,
+                                          None, None)
+            y = pc.from_packed(y_p, g_dst, CO).astype(jnp.float32)
+            mq = mom.reshape(2, g_dst.p, cop).sum(1)[:, :CO]
+            return (y * r).sum() + (mq * q).sum(), y
+
+        def unfused(w3):
+            y = self._oracle(x, w3)
+            mq = jnp.stack([y.sum((0, 1, 2)), (y * y).sum((0, 1, 2))])
+            return (y * r).sum() + (mq * q).sum(), y
+
+        (lf, yf), gf = jax.value_and_grad(fused, has_aux=True)(w3)
+        (lr_, yr), gr = jax.value_and_grad(unfused, has_aux=True)(w3)
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
+                                   atol=0.08, rtol=0.05)
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        a, b = np.asarray(gf, np.float64), np.asarray(gr, np.float64)
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+        assert err < 0.08, err
+
+    @pytest.mark.parametrize("act", ["relu", "hswish"])
+    def test_full_bwd_with_pro_and_dx(self, rng, act):
+        """Generality: prologue + need_dx + bias through the phases=2 path
+        (every gradient vs the oracle)."""
+        g_src, g_dst = self._geoms()
+        B, CIN, CO = 2, 4, 5
+        x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, CIN).astype(np.float32))
+        w3 = jnp.asarray(rng.randn(3, 3, CIN, CO).astype(np.float32) * 0.3)
+        s = jnp.asarray(rng.rand(CIN).astype(np.float32) + 0.5)
+        t = jnp.asarray(rng.randn(CIN).astype(np.float32) * 0.3)
+        bias = jnp.asarray(rng.randn(CO).astype(np.float32))
+        cfg = pc.DownCfg(g_src=g_src, g_dst=g_dst, l_in=g_src.lanes(CIN),
+                         lo=g_dst.lanes(CO), pro=act, has_bias=True,
+                         emit_moments=False, need_dx=True)
+        cp_s = g_src.cp(CIN)
+
+        def act_fn(v):
+            if act == "relu":
+                return jnp.maximum(v, 0.0)
+            return v * jnp.clip(v + 3.0, 0.0, 6.0) / 6.0
+
+        def fused(x, w3, s, t, bias):
+            pad = cp_s - CIN
+            pro = jnp.stack([jnp.tile(jnp.pad(s, (0, pad)), g_src.p),
+                             jnp.tile(jnp.pad(t, (0, pad)), g_src.p)])
+            y_p, _ = pc.fused_conv_down(
+                cfg, pc.to_packed(x, g_src), w3, pro,
+                pc.bias_lanes(bias, g_dst.p, g_dst.cp(CO)))
+            return (pc.from_packed(y_p, g_dst, CO).astype(jnp.float32)
+                    ** 2).sum()
+
+        def unfused(x, w3, s, t, bias):
+            v = x.astype(jnp.bfloat16).astype(jnp.float32) * s + t
+            a = act_fn(v).astype(jnp.bfloat16).astype(jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                a, w3.astype(jnp.bfloat16).astype(jnp.float32), (2, 2),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+            return (y ** 2).sum()
+
+        lf, gf = jax.value_and_grad(fused, argnums=(0, 1, 2, 3, 4))(
+            x, w3, s, t, bias)
+        lr_, gr = jax.value_and_grad(unfused, argnums=(0, 1, 2, 3, 4))(
+            x, w3, s, t, bias)
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        for n, a, b in zip(["dx", "dw", "dscale", "dshift", "dbias"], gf, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            assert err < 0.08, (n, err)
+
+    def test_multi_tile_rows_moments_bwd(self, rng, monkeypatch):
+        """phases=2 with th < h (cross-tile halo'd PAIR-view dy reads) and
+        the moments-correction path live in the bwd."""
+        g_src, g_dst = self._geoms(h=128, w=64)
+        B, CIN, CO = 1, 3, 8
+        monkeypatch.setattr(pc, "_VMEM_BUDGET", 1_800_000)
+        x = jnp.asarray(rng.randn(B, g_src.h, g_src.w, CIN).astype(np.float32))
+        w3 = jnp.asarray(rng.randn(3, 3, CIN, CO).astype(np.float32) * 0.3)
+        q = jnp.asarray(rng.randn(2, CO).astype(np.float32))
+        cfg = pc.DownCfg(g_src=g_src, g_dst=g_dst, l_in=g_src.lanes(CIN),
+                         lo=g_dst.lanes(CO), pro=None, has_bias=False,
+                         emit_moments=True, need_dx=False)
+        assert cfg.th(backward=False) < g_dst.h
+        assert cfg.th(backward=True) < g_dst.h
+        cop = g_dst.cp(CO)
+
+        def fused(w3):
+            y_p, mom = pc.fused_conv_down(cfg, pc.to_packed(x, g_src), w3,
+                                          None, None)
+            mq = mom.reshape(2, g_dst.p, cop).sum(1)[:, :CO]
+            return ((pc.from_packed(y_p, g_dst, CO).astype(jnp.float32) ** 2)
+                    .sum() + (mq * q).sum())
+
+        def unfused(w3):
+            y = self._oracle(x, w3)
+            mq = jnp.stack([y.sum((0, 1, 2)), (y * y).sum((0, 1, 2))])
+            return (y ** 2).sum() + (mq * q).sum()
+
+        lf, gf = jax.value_and_grad(fused)(w3)
+        lr_, gr = jax.value_and_grad(unfused)(w3)
+        np.testing.assert_allclose(float(lf), float(lr_), rtol=2e-2)
+        a, b = np.asarray(gf, np.float64), np.asarray(gr, np.float64)
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+        assert err < 0.08, err
+
+
 def test_stride2_down_taps_match_lax_conv(rng):
     """toeplitz_down + the parity-view contraction == conv3x3 stride 2
     padding (1,1) — the round-3 packed-encoder front-end groundwork
