@@ -169,6 +169,10 @@ def _toeplitz(w3, p: int, cp: int, cop: int):
     build lowered to ~2·3p dynamic-update-slices per conv per step (~1.4
     ms/step across the flagship's taps)."""
     cin, cout = w3.shape[2], w3.shape[3]
+    # NOTE (measured r3): an all-bf16 einsum (preferred_element_type=bf16,
+    # exact here since every slot has a single contributing term) benched
+    # ~1.2 f/s SLOWER end-to-end than this f32-einsum→cast chain — XLA's
+    # bf16 scatter-einsum lowering is worse than the f32 one. Keep f32.
     m = jnp.asarray(_toeplitz_scatter_np(p))
     t = jnp.einsum("xdsq,axio->adsiqo", m,
                    w3.astype(jnp.bfloat16).astype(jnp.float32))

@@ -784,14 +784,14 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
                     dts[j][dyy, dwb] += jax.lax.dot_general(
                         a2, dy_flat, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-            # dx: with T'[d] = T[-d]^T the taps read the halo'd dy tile
-            # exactly like the forward reads x
+            # dx: T[-d]^T read of the halo'd dy tile, expressed on the RAW
+            # forward taps — static flip indices + rhs-dim-1 contraction
             ga = jnp.zeros((th, wb, l_list[j]), jnp.float32)
             for dyy in range(3):
                 for dwb in range(3):
                     ga += jax.lax.dot_general(
                         dy_bf[dyy:dyy + th, dwb:dwb + wb, :],
-                        tts[j][dyy, dwb], (((2,), (0,)), ((), ())),
+                        tts[j][2 - dyy, 2 - dwb], (((2,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
             if j in pros:
                 ga, dp0, dp1 = _prologue_bwd(
@@ -978,17 +978,19 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
-    # transposed taps, all (3, 3, lo, l): regular inputs T'[d] = T[-d]^T;
-    # r_b=1 up inputs column-folded tx_up (double-flipped); r_b=2 up inputs
-    # the standard transposed dst taps (the dup-matrix adjoint handles the
-    # resolution fold in-kernel). ``tees[j]`` is the raw (3,3,ci,co) kernel
-    # for up inputs.
+    # bwd taps: REGULAR inputs reuse the forward (3, 3, l, lo) tap tensor
+    # unchanged — the kernel indexes [2-dy, 2-dwb] (static flip) and
+    # contracts the rhs's SECOND dim (the MXU loads the stationary operand
+    # either orientation), so the old flip+swapaxes pass over every tap
+    # tensor disappears from the step. r_b=1 up inputs keep the
+    # column-folded tx_up (double-flipped); r_b=2 up inputs the transposed
+    # dst taps (the dup-matrix adjoint handles the resolution fold
+    # in-kernel). ``tees[j]`` is the raw (3,3,ci,co) kernel for up inputs.
     tts, dup_args = [], []
     for j, t in enumerate(tees):
         u = cfg.ups[j]
         if u is None:
-            tts.append(jnp.flip(t, axis=(0, 1)).swapaxes(2, 3)
-                       .astype(jnp.bfloat16))
+            tts.append(t.astype(jnp.bfloat16))
             continue
         gs = _src_geom(cfg, j)
         if u[3] == 1:
@@ -1008,7 +1010,9 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
         args.append(y)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * nj
     args += list(inputs)
-    in_specs += [const((3, 3, cfg.lo, l)) for l in cfg.l_list]
+    in_specs += [const((3, 3, l, cfg.lo)) if cfg.ups[j] is None
+                 else const((3, 3, cfg.lo, l))
+                 for j, l in enumerate(cfg.l_list)]
     args += tts
     for j, m in enumerate(cfg.pro_mask):
         if m:
@@ -1553,16 +1557,17 @@ def _down_bwd_kernel(*refs, th, n_i, cfg: DownCfg, n_b):
                     slice(ph * lo, (ph + 1) * lo)
                 dye = dy_bf[1:1 + th, 1 - d:1 - d + wbs, lsl]  # dy row t
                 dyo = dy_bf[2:2 + th, 1 - d:1 - d + wbs, lsl]  # dy row t+1
+                # forward-layout taps (L_in, s·Lo): contract rhs dim 1
                 tta = (lambda a_: tt_ref[a_, d + 1] if s == 1 else
-                       tt_ref[a_, d + 1, ph * lo:(ph + 1) * lo, :])
+                       tt_ref[a_, d + 1, :, ph * lo:(ph + 1) * lo])
                 ge += jax.lax.dot_general(
-                    dye, tta(1), (((2,), (0,)), ((), ())),
+                    dye, tta(1), (((2,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 go += jax.lax.dot_general(
-                    dyo, tta(0), (((2,), (0,)), ((), ())),
+                    dyo, tta(0), (((2,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 go += jax.lax.dot_general(
-                    dye, tta(2), (((2,), (0,)), ((), ())),
+                    dye, tta(2), (((2,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
         ga = jnp.stack([ge, go], axis=1).reshape(2 * th, wbs, cfg.l_in)
         if cfg.pro:
@@ -1643,8 +1648,9 @@ def _down_bwd_call(cfg: DownCfg, x, w3, pro, y, dy, dmom):
                                        memory_space=pltpu.VMEM)
     s = cfg.phases
     corr = cfg.emit_moments and s == 1
-    taps = toeplitz_down(w3, g_s, cfg.g_virt, cop=cfg.lo // g_d.p)
-    tt = jnp.swapaxes(taps, 2, 3)                  # (3, 2, s·Lo, L_in)
+    # forward-layout taps (3, 2, L_in, s·Lo); the kernel's dx contraction
+    # runs transposed (rhs dim 0 is L_in), so no swapaxes pass is needed
+    tt = toeplitz_down(w3, g_s, cfg.g_virt, cop=cfg.lo // g_d.p)
     if s == 2:
         # Halo-ALIGNED pair view: pair col 1+v holds real dst interior
         # blocks (2v, 2v+1) in its 128-lane halves, masked (+ corrected by
@@ -1672,7 +1678,7 @@ def _down_bwd_call(cfg: DownCfg, x, w3, pro, y, dy, dmom):
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(y)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY),
-                 const((3, 2, s * cfg.lo, cfg.l_in))]
+                 const((3, 2, cfg.l_in, s * cfg.lo))]
     args += [x, tt]
     if cfg.pro:
         in_specs.append(const((2, cfg.l_in)))
@@ -2212,8 +2218,9 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
     for dyy in range(3):
         for dwb in range(3):
             ga += jax.lax.dot_general(
-                dy_bf[dyy:dyy + th, dwb:dwb + wb, :], tts_ref[dyy, dwb],
-                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                dy_bf[dyy:dyy + th, dwb:dwb + wb, :],
+                tts_ref[2 - dyy, 2 - dwb],
+                (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ga, dp0, dp1 = _prologue_bwd(ga, x_tile[1:1 + th, 1:1 + wb, :], pro_ref)
     dpro_ref[0, :] += dp0
     dpro_ref[1, :] += dp1
@@ -2289,9 +2296,10 @@ def _head_loss_bwd_call(spec: HeadLossSpec, x, tee, pro, y, labels, dstats):
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     sgrp = _loss_consts_np(g.p, spec.cp)
-    tts = jnp.flip(tee, axis=(0, 1)).swapaxes(2, 3).astype(jnp.bfloat16)
+    # forward-layout taps; the kernel flips statically + contracts rhs dim 1
+    tts = tee.astype(jnp.bfloat16)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
-    in_specs += [const((3, 3, spec.lo, spec.l_in)),
+    in_specs += [const((3, 3, spec.l_in, spec.lo)),
                  const((2, spec.l_in)), const((spec.lo, spec.lo)),
                  pl.BlockSpec((1, 4, spec.lo), lambda bb, ii: (bb, 0, 0),
                               memory_space=pltpu.VMEM)]
