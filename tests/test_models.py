@@ -926,6 +926,54 @@ def test_smp_manet_full_checkpoint_parity(rng):
     assert (ours.argmax(-1) == theirs.argmax(-1)).mean() == 1.0
 
 
+class _TorchSegformerMLP(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.linear = tnn.Linear(cin, cout)
+
+    def forward(self, x):
+        b, _, h, w = x.shape
+        y = self.linear(x.flatten(2).transpose(1, 2))
+        return y.transpose(1, 2).reshape(b, -1, h, w)
+
+
+class _TorchSmpSegformer(tnn.Module):
+    """Oracle: smp Segformer(+MiT) with the official head (MLP per-level
+    projections, bilinear resizes to s4, Conv2dReLU fuse, x4 bilinear
+    align_corners=True upsample). dims/depths parameterize the MiT variant
+    (b0: 32/64/160/256 x 2/2/2/2; b2: 64/128/320/512 x 3/4/6/3 — the
+    PKG-INFO Example 2 config)."""
+
+    def __init__(self, classes=7, seg_ch=256, dims=(32, 64, 160, 256),
+                 depths=(2, 2, 2, 2)):
+        super().__init__()
+        self.encoder = _TorchMiTEncoder(dims=dims, depths=depths)
+        self.decoder = tnn.Module()
+        # mlp_stage.0 is the DEEPEST level (smp reverses the pyramid)
+        self.decoder.mlp_stage = tnn.ModuleList(
+            [_TorchSegformerMLP(c, seg_ch) for c in dims[::-1]])
+        self.decoder.fuse_stage = tnn.Sequential(
+            tnn.Conv2d(4 * seg_ch, seg_ch, 1, bias=False),
+            tnn.BatchNorm2d(seg_ch), tnn.ReLU(inplace=True))
+        self.segmentation_head = tnn.Sequential(
+            tnn.Conv2d(seg_ch, classes, 3, 1, 1))
+
+    def forward(self, x):
+        feats = self.encoder(x)[::-1]  # deepest first
+        target = feats[-1].shape[-2:]  # s4
+        proj = []
+        for i, mlp in enumerate(self.decoder.mlp_stage):
+            y = mlp(feats[i])
+            if y.shape[-2:] != target:
+                y = tnn.functional.interpolate(
+                    y, size=target, mode="bilinear", align_corners=False)
+            proj.append(y)
+        y = self.decoder.fuse_stage(torch.cat(proj, dim=1))
+        y = self.segmentation_head(y)
+        return tnn.functional.interpolate(
+            y, scale_factor=4, mode="bilinear", align_corners=True)
+
+
 def test_smp_segformer_full_checkpoint_parity(rng):
     """A complete smp-format Segformer(+mit_b0) checkpoint imports via
     import_smp_segformer_state_dict and produces argmax-identical masks
@@ -934,45 +982,6 @@ def test_smp_segformer_full_checkpoint_parity(rng):
     with x4 UpsamplingBilinear2d align_corners=True)."""
     from mmr_tpu.models.decoders import SegformerModel
     from mmr_tpu.models.pretrained import import_smp_segformer_state_dict
-
-    class _TorchMLP(tnn.Module):
-        def __init__(self, cin, cout):
-            super().__init__()
-            self.linear = tnn.Linear(cin, cout)
-
-        def forward(self, x):
-            b, _, h, w = x.shape
-            y = self.linear(x.flatten(2).transpose(1, 2))
-            return y.transpose(1, 2).reshape(b, -1, h, w)
-
-    class _TorchSmpSegformer(tnn.Module):
-        def __init__(self, classes=7, seg_ch=256, dims=(32, 64, 160, 256)):
-            super().__init__()
-            self.encoder = _TorchMiTEncoder(dims=dims)
-            self.decoder = tnn.Module()
-            # mlp_stage.0 is the DEEPEST level (smp reverses the pyramid)
-            self.decoder.mlp_stage = tnn.ModuleList(
-                [_TorchMLP(c, seg_ch) for c in dims[::-1]])
-            self.decoder.fuse_stage = tnn.Sequential(
-                tnn.Conv2d(4 * seg_ch, seg_ch, 1, bias=False),
-                tnn.BatchNorm2d(seg_ch), tnn.ReLU(inplace=True))
-            self.segmentation_head = tnn.Sequential(
-                tnn.Conv2d(seg_ch, classes, 3, 1, 1))
-
-        def forward(self, x):
-            feats = self.encoder(x)[::-1]  # deepest first
-            target = feats[-1].shape[-2:]  # s4
-            proj = []
-            for i, mlp in enumerate(self.decoder.mlp_stage):
-                y = mlp(feats[i])
-                if y.shape[-2:] != target:
-                    y = tnn.functional.interpolate(
-                        y, size=target, mode="bilinear", align_corners=False)
-                proj.append(y)
-            y = self.decoder.fuse_stage(torch.cat(proj, dim=1))
-            y = self.segmentation_head(y)
-            return tnn.functional.interpolate(
-                y, scale_factor=4, mode="bilinear", align_corners=True)
 
     torch.manual_seed(8)
     oracle = _TorchSmpSegformer(classes=7).eval()
@@ -984,6 +993,43 @@ def test_smp_segformer_full_checkpoint_parity(rng):
 
     params, stats = import_smp_segformer_state_dict(sd, "mit_b0")
     model = SegformerModel(num_classes=7, encoder_name="mit_b0", dtype=F32)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    init_vars = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                           train=False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, init_vars["params"])
+            == jax.tree_util.tree_map(lambda a: tuple(a.shape), params))
+
+    ours = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                  jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+    assert (ours.argmax(-1) == theirs.argmax(-1)).mean() == 1.0
+
+
+def test_smp_segformer_mit_b2_full_checkpoint_parity(rng):
+    """The same full-checkpoint oracle at **mit_b2 scale** — dims
+    64/128/320/512, depths 3/4/6/3 — the exact config behind the reference's
+    published 82.38% test-mIoU result (PKG-INFO Example 2,
+    ``--model Segformer --model_encoder_name mit_b2``). The importer is
+    config-generic, but this is the numeric proof at the published scale
+    (VERDICT r3 'do this' #5): deeper stages exercise block indices >1 in the
+    checkpoint-key parser and the wider head projections."""
+    from mmr_tpu.models.decoders import SegformerModel
+    from mmr_tpu.models.pretrained import import_smp_segformer_state_dict
+
+    torch.manual_seed(9)
+    oracle = _TorchSmpSegformer(classes=10, dims=(64, 128, 320, 512),
+                                depths=(3, 4, 6, 3)).eval()
+    for m in oracle.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    sd = oracle.state_dict()
+
+    params, stats = import_smp_segformer_state_dict(sd, "mit_b2")
+    model = SegformerModel(num_classes=10, encoder_name="mit_b2", dtype=F32)
     x = rng.rand(1, 64, 64, 3).astype(np.float32)
     init_vars = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
                            train=False)
