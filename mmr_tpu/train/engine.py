@@ -71,6 +71,16 @@ class Trainer:
             # spent >40 min compiling over the dev tunnel; the XLA lowering
             # compiles in seconds and is equally fast at these sizes)
             model_cfg.setdefault("packed", True)
+            if (model_cfg.get("packed")
+                    and "mobilenetv3" in str(self.encoder_name)
+                    and self.patch_size[1] % 128 == 0
+                    and self.patch_size[0] % 4 == 0):
+                # the benched flagship config: mbv3 stem + b0_0 as fused
+                # stride-2 packed kernels (models/packed_encoder.py). Gated
+                # on the image-packing geometry (w multiple of 128) — every
+                # tensor the model sees in Path B is patch-shaped (train
+                # patches, val patches, sliding-window roi windows)
+                model_cfg.setdefault("packed_frontend", True)
         self.model, self._weights_hook = create_model(
             arch, encoder_name=self.encoder_name, encoder_weights=encoder_weights,
             classes=self.n_classes, dtype=precision.compute_dtype, **model_cfg)
@@ -145,8 +155,12 @@ class Trainer:
     # ----------------------------------------------------------------- setup
     def init_state(self) -> TrainState:
         # param shapes are independent of spatial size: init at a small
-        # resolution (≥64 for the SegNet bottleneck) to keep init cheap
-        init_hw = (min(self.patch_size[0], 64), min(self.patch_size[1], 64))
+        # resolution (≥64 for the SegNet bottleneck; ≥128-wide for the
+        # packed front-end's image-packing geometry) to keep init cheap
+        min_w = 128 if self.config.get("model", {}).get("packed_frontend") \
+            or getattr(self.model, "packed_frontend", False) else 64
+        init_hw = (min(self.patch_size[0], min_w),
+                   min(self.patch_size[1], min_w))
         x = jnp.zeros((1, *init_hw, 3), jnp.float32)
         # Initialize on the host CPU backend: on the remote-TPU (axon) path,
         # init's thousands of tiny ops would each pay tunnel RPC latency
