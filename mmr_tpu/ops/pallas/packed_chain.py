@@ -1990,7 +1990,7 @@ def _argmax_first(accm, cp, vmask):
     return _key_to_f32(mk), jnp.logical_and(tied, pre == 0.0)
 
 
-def _head_softmax(acc, labs, sgrp, cp, nc, m):
+def _head_softmax(acc, labs, sgrp, clsv, vmask, m):
     """Fwd-kernel lane-space softmax pieces on a logits tile (the bwd kernel
     reads the fwd's stored log-probs and needs none of this).
 
@@ -1998,11 +1998,10 @@ def _head_softmax(acc, labs, sgrp, cp, nc, m):
     butterfly already produced — a tile-global max would silently underflow
     every exp() of a pixel whose own logits sit far below the tile max
     (large early-training spread), zeroing its Dice/CE stats. The reference
-    (MONAI softmax CE) is per-pixel stabilized.
+    (MONAI softmax CE) is per-pixel stabilized. ``clsv``/``vmask`` are the
+    caller's lane masks (computed once per chunk shape, not per call).
 
-    Returns (z, sums, probs, onehot, m, accm); class-pad lanes excluded."""
-    clsv, vmask = _lane_class_masks(acc.shape, cp, nc)
-    accm = jnp.where(vmask, acc, -1e30)
+    Returns (z, sums, probs, onehot); class-pad lanes excluded."""
     # clamp the exponent at 0: m is within rounding of the true max for valid
     # lanes, and fully-invalid groups (halo rows) have m = -1e30, where an
     # unclamped exp(acc - m) would manufacture infs even under the vmask
@@ -2011,7 +2010,19 @@ def _head_softmax(acc, labs, sgrp, cp, nc, m):
                                preferred_element_type=jnp.float32)
     probs = z / jnp.maximum(sums, 1e-30)
     onehot = jnp.where(jnp.logical_and(labs == clsv, vmask), 1.0, 0.0)
-    return z, sums, probs, onehot, m, accm
+    return z, sums, probs, onehot
+
+
+def _head_chunks(th: int) -> int:
+    """Row-chunk count for the MXU/VPU software pipeline inside the head
+    kernels: the conv (fwd) / dW+dx (bwd) matmul phase of chunk c+1 is
+    independent of chunk c's elementwise loss phase, so splitting the tile
+    lets Mosaic's scheduler overlap the MXU and VPU instead of serializing
+    a whole-tile matmul phase behind a whole-tile VPU chain."""
+    for n_c in (4, 2):
+        if th % n_c == 0 and th // n_c >= 8:
+            return n_c
+    return 1
 
 
 def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
@@ -2054,64 +2065,85 @@ def _head_loss_fwd_kernel(x_hbm, lab_hbm, t_ref, pro_ref, bias_ref, sgrp,
 
     valid = _halo_mask(i, th, wb, wbp, n_i)
     dma(x_hbm, xt, 0, k % 2, k).wait()
-    tile = _prologue(xt[k % 2], pro_ref, valid)
-    acc = jnp.zeros((th, wb, lo), jnp.float32)
-    for dy in range(3):
-        for dwb in range(3):
-            acc += jax.lax.dot_general(
-                tile[dy:dy + th, dwb:dwb + wb, :], t_ref[dy, dwb],
-                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc = acc + bias_ref[0][None, None, :]
-
-    # ---- argmax butterfly (doubles as the softmax stabilizer) ----
-    # bit-exact roll butterfly instead of nc per-class MXU broadcast matmuls:
-    # ceil(log2(cp)) VPU stages give the exact first-max class index and the
-    # per-pixel(-group) max — the stabilizer _head_softmax needs — for free.
     dma(lab_hbm, lt, 1, k % 2, k).wait()
-    labs = lt[k % 2][1:1 + th, 1:1 + wb, :].astype(jnp.float32)
-    clsv, vmask = _lane_class_masks((th, wb, lo), cp, nc)
-    accm = jnp.where(vmask, acc, -1e30)
-    if with_conf:
-        bv, first = _argmax_first(accm, cp, vmask)
-    else:
-        # no confusion wanted: max only (no index tracking)
-        bv = _group_max(accm, cp)
-
-    # ---- loss statistics on the interior ----
-    z, sums, probs, onehot, m, _ = _head_softmax(acc, labs, sgrp, cp, nc,
-                                                 m=bv)
-    lse = jnp.log(jnp.maximum(sums, 1e-30)) + m
-    ce = onehot * (lse - acc)
-    stats_ref[0, 0, :] += jnp.sum(probs, axis=(0, 1))
-    stats_ref[0, 1, :] += jnp.sum(onehot, axis=(0, 1))
-    stats_ref[0, 2, :] += jnp.sum(probs * onehot, axis=(0, 1))
-    stats_ref[0, 3, :] += jnp.sum(ce, axis=(0, 1))
-
-    if with_conf:
-        pred_oh = jnp.where(first, 1.0, 0.0)
-        conf_ref[:, :] += jax.lax.dot_general(
-            pred_oh.reshape(th * wb, lo), onehot.reshape(th * wb, lo),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
+    tile = _prologue(xt[k % 2], pro_ref, valid)
+    labs_full = lt[k % 2]
     slot = k % 2
 
     @pl.when(k >= 2)
     def _():
         _wait_copy(ystage.at[slot], outsem.at[slot])
 
-    # the residual surface stores the LOG-probabilities (acc − lse, already
-    # in hand, masked to −80 at class-pad lanes): the bwd kernel then needs
-    # no softmax recompute at all — probs = exp(logp), and probs−1 =
-    # expm1(logp). Log space keeps RELATIVE bf16 precision on BOTH tails:
-    # storing probs directly rounds p ∈ (1−2⁻⁹, 1] to exactly 1.0, zeroing
-    # confident-pixel CE gradients late in training; storing logits
-    # quantizes ±2⁻⁹·|logit| BEFORE the f32 softmax (~2% prob error). y is
-    # residual/metrics-only (decoders.py drops it), so the surface's
-    # meaning is free to choose.
-    logp = jnp.where(vmask, jnp.minimum(acc - lse, 0.0), -80.0)
-    ystage[slot] = jnp.pad(
-        logp.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)],
-        constant_values=-80.0)
+    # MXU/VPU software pipeline: conv chunk c+1 (MXU) is independent of
+    # loss chunk c (VPU elementwise), so interleaving them lets the
+    # scheduler overlap the units — whole-tile phases serialize ~2.5 ms of
+    # head-conv matmuls behind the ~4.5 ms loss chain at 512² b32.
+    n_c = _head_chunks(th)
+    tc = th // n_c
+    clsv, vmask = _lane_class_masks((tc, wb, lo), cp, nc)
+
+    def conv_chunk(c):
+        acc = jnp.zeros((tc, wb, lo), jnp.float32)
+        for dy in range(3):
+            for dwb in range(3):
+                acc += jax.lax.dot_general(
+                    tile[c * tc + dy:c * tc + dy + tc, dwb:dwb + wb, :],
+                    t_ref[dy, dwb],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        return acc + bias_ref[0][None, None, :]
+
+    def loss_chunk(c, acc):
+        # ---- argmax butterfly (doubles as the softmax stabilizer) ----
+        # bit-exact roll butterfly instead of nc per-class MXU broadcast
+        # matmuls: ceil(log2(cp)) VPU stages give the exact first-max class
+        # index and the per-pixel(-group) max — the stabilizer
+        # _head_softmax needs — for free.
+        labs = labs_full[1 + c * tc:1 + c * tc + tc,
+                         1:1 + wb, :].astype(jnp.float32)
+        accm = jnp.where(vmask, acc, -1e30)
+        if with_conf:
+            bv, first = _argmax_first(accm, cp, vmask)
+        else:
+            # no confusion wanted: max only (no index tracking)
+            bv = _group_max(accm, cp)
+
+        # ---- loss statistics on the interior ----
+        z, sums, probs, onehot = _head_softmax(acc, labs, sgrp, clsv,
+                                               vmask, m=bv)
+        lse = jnp.log(jnp.maximum(sums, 1e-30)) + bv
+        ce = onehot * (lse - acc)
+        stats_ref[0, 0, :] += jnp.sum(probs, axis=(0, 1))
+        stats_ref[0, 1, :] += jnp.sum(onehot, axis=(0, 1))
+        stats_ref[0, 2, :] += jnp.sum(probs * onehot, axis=(0, 1))
+        stats_ref[0, 3, :] += jnp.sum(ce, axis=(0, 1))
+
+        if with_conf:
+            pred_oh = jnp.where(first, 1.0, 0.0)
+            conf_ref[:, :] += jax.lax.dot_general(
+                pred_oh.reshape(tc * wb, lo), onehot.reshape(tc * wb, lo),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        # the residual surface stores the LOG-probabilities (acc − lse,
+        # already in hand, masked to −80 at class-pad lanes): the bwd kernel
+        # then needs no softmax recompute at all — probs = exp(logp), and
+        # probs−1 = expm1(logp). Log space keeps RELATIVE bf16 precision on
+        # BOTH tails: storing probs directly rounds p ∈ (1−2⁻⁹, 1] to
+        # exactly 1.0, zeroing confident-pixel CE gradients late in
+        # training; storing logits quantizes ±2⁻⁹·|logit| BEFORE the f32
+        # softmax (~2% prob error). y is residual/metrics-only (decoders.py
+        # drops it), so the surface's meaning is free to choose.
+        logp = jnp.where(vmask, jnp.minimum(acc - lse, 0.0), -80.0)
+        ystage[slot, c * tc:(c + 1) * tc] = jnp.pad(
+            logp.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)],
+            constant_values=-80.0)
+
+    acc_c = conv_chunk(0)
+    for c in range(1, n_c):
+        acc_n = conv_chunk(c)
+        loss_chunk(c - 1, acc_c)
+        acc_c = acc_n
+    loss_chunk(n_c - 1, acc_c)
     pltpu.make_async_copy(
         ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
         outsem.at[slot]).start()
@@ -2179,58 +2211,81 @@ def _head_loss_bwd_kernel(y_hbm, x_hbm, lab_hbm, tts_ref, pro_ref,
     valid = _halo_mask(i, th, wb, wbp, n_i)
     dma(y_hbm, yt, 0, slot, k).wait()
     dma(lab_hbm, lt, 2, slot, k).wait()
+    dma(x_hbm, xt, 1, slot, k).wait()
     # the fwd stored LOG-probs on the y surface, so d(logits) synthesis
     # needs no softmax recompute: probs = exp(logp) (class-pad lanes carry
     # −80 → 0; image-edge halo rows are valid-masked below), probs − onehot
     # at the label lane is expm1(logp) — exact even when bf16 would round
     # probs to 1.0 — and onehot is rebuilt from the labels it reads anyway
-    logp = yt[slot].astype(jnp.float32)           # halo'd log-probs tile
-    probs = jnp.exp(logp)
-    labs = lt[slot].astype(jnp.float32)
-    clsv, vmask = _lane_class_masks(probs.shape, cp, nc)
-    onehot = jnp.where(
-        jnp.logical_and(labs == clsv, jnp.logical_and(vmask, valid)),
-        1.0, 0.0)
-    g_up = dst_ref[0, 0][None, None, :] \
-        + dst_ref[0, 2][None, None, :] * onehot
-    inner = jax.lax.dot_general(probs * g_up, sgrp[...],
-                                (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    dacc = probs * (g_up - inner) \
-        + dst_ref[0, 3][None, None, :] \
-        * jnp.where(onehot > 0.0, _expm1_nonpos(logp), probs)
-    dacc = jnp.where(valid, dacc, 0.0)
-    dy_bf = dacc.astype(jnp.bfloat16)
-    dy_int = dacc[1:1 + th, 1:1 + wb, :]
-    dy_flat = dy_int.astype(jnp.bfloat16).reshape(th * wb, lo)
-    dbias_ref[0, :] += jnp.sum(dy_int, axis=(0, 1))
-
-    dma(x_hbm, xt, 1, slot, k).wait()
+    logp_full = yt[slot].astype(jnp.float32)      # halo'd log-probs tile
+    labs_full = lt[slot].astype(jnp.float32)
     x_tile = xt[slot]
     a_tile = _prologue(x_tile, pro_ref, valid)
-    for dyy in range(3):
-        for dwb in range(3):
-            a2 = a_tile[dyy:dyy + th, dwb:dwb + wb, :].reshape(th * wb, li)
-            dt_ref[dyy, dwb] += jax.lax.dot_general(
-                a2, dy_flat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    ga = jnp.zeros((th, wb, li), jnp.float32)
-    for dyy in range(3):
-        for dwb in range(3):
-            ga += jax.lax.dot_general(
-                dy_bf[dyy:dyy + th, dwb:dwb + wb, :],
-                tts_ref[2 - dyy, 2 - dwb],
-                (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ga, dp0, dp1 = _prologue_bwd(ga, x_tile[1:1 + th, 1:1 + wb, :], pro_ref)
-    dpro_ref[0, :] += dp0
-    dpro_ref[1, :] += dp1
 
     @pl.when(k >= 2)
     def _():
         _wait_copy(dxstage.at[slot], outsem.at[slot])
 
-    dxstage[slot] = jnp.pad(
-        ga.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+    # MXU/VPU software pipeline (mirror of the fwd kernel): the d(logits)
+    # synthesis of chunk c+1 (VPU elementwise) is independent of chunk c's
+    # 18 dW/dx tap matmuls (MXU) — chunking lets the scheduler hide the
+    # synthesis under the matmuls. Chunks overlap by the 2 conv halo rows
+    # (recomputed, ~2/tc waste).
+    n_c = _head_chunks(th)
+    tc = th // n_c
+    clsv, vmask = _lane_class_masks((tc + 2, wbp, lo), cp, nc)
+
+    def synth_chunk(c):
+        lp = logp_full[c * tc:c * tc + tc + 2]
+        labs = labs_full[c * tc:c * tc + tc + 2]
+        vld = valid[c * tc:c * tc + tc + 2]
+        probs = jnp.exp(lp)
+        onehot = jnp.where(
+            jnp.logical_and(labs == clsv, jnp.logical_and(vmask, vld)),
+            1.0, 0.0)
+        g_up = dst_ref[0, 0][None, None, :] \
+            + dst_ref[0, 2][None, None, :] * onehot
+        inner = jax.lax.dot_general(probs * g_up, sgrp[...],
+                                    (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dacc = probs * (g_up - inner) \
+            + dst_ref[0, 3][None, None, :] \
+            * jnp.where(onehot > 0.0, _expm1_nonpos(lp), probs)
+        return jnp.where(vld, dacc, 0.0)
+
+    def mat_chunk(c, dacc):
+        dy_bf = dacc.astype(jnp.bfloat16)
+        dy_int = dacc[1:1 + tc, 1:1 + wb, :]
+        dy_flat = dy_int.astype(jnp.bfloat16).reshape(tc * wb, lo)
+        dbias_ref[0, :] += jnp.sum(dy_int, axis=(0, 1))
+        for dyy in range(3):
+            for dwb in range(3):
+                a2 = a_tile[c * tc + dyy:c * tc + dyy + tc,
+                            dwb:dwb + wb, :].reshape(tc * wb, li)
+                dt_ref[dyy, dwb] += jax.lax.dot_general(
+                    a2, dy_flat, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        ga = jnp.zeros((tc, wb, li), jnp.float32)
+        for dyy in range(3):
+            for dwb in range(3):
+                ga += jax.lax.dot_general(
+                    dy_bf[dyy:dyy + tc, dwb:dwb + wb, :],
+                    tts_ref[2 - dyy, 2 - dwb],
+                    (((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        ga, dp0, dp1 = _prologue_bwd(
+            ga, x_tile[1 + c * tc:1 + c * tc + tc, 1:1 + wb, :], pro_ref)
+        dpro_ref[0, :] += dp0
+        dpro_ref[1, :] += dp1
+        dxstage[slot, c * tc:(c + 1) * tc] = jnp.pad(
+            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+
+    d_prev = synth_chunk(0)
+    for c in range(1, n_c):
+        d_next = synth_chunk(c)
+        mat_chunk(c - 1, d_prev)
+        d_prev = d_next
+    mat_chunk(n_c - 1, d_prev)
     pltpu.make_async_copy(
         dxstage.at[slot], dx_hbm.at[b, pl.ds(i * th + 1, th)],
         outsem.at[slot]).start()
