@@ -404,20 +404,27 @@ def _prologue_bwd(ga, x_int, pro_ref, act="relu"):
 
 
 def _up_fwd_contrib(tile, t_ref, pro_ref, spec, th, wb, lo, i, n_i,
-                    act="relu"):
+                    act="relu", row0=0, tc=None):
     """Fused ×2-upsample input's contribution to the dst accumulator.
 
     ``tile`` is the SOURCE-resolution halo'd tile (th/2+2, wbp_s, L_s);
     phase-tap matmuls produce the four (dst-row parity × dst-block phase)
-    quadrants which are interleaved back via sublane/row merges."""
+    quadrants which are interleaved back via sublane/row merges.
+
+    ``row0``/``tc`` select a dst row-chunk [row0·2, row0·2 + tc) of the
+    tile (the MXU/VPU pipeline in the caller) — the source slice is
+    [row0, row0 + tc/2 + 2), with the prologue recomputed on the chunk's
+    two halo rows."""
     p_s, wb_s, wbp_s, r_b, mats = spec
-    ths = th // 2
+    tc = th if tc is None else tc
+    ths = tc // 2
+    sub = tile[row0:row0 + ths + 2]
     if pro_ref is not None:
-        valid = _halo_mask(i, ths, wb_s, wbp_s, n_i)
-        tile = _prologue(tile, pro_ref, valid, act)
+        valid = _halo_mask(i, th // 2, wb_s, wbp_s, n_i)
+        sub = _prologue(sub, pro_ref, valid[row0:row0 + ths + 2], act)
     parts = {}
     for mi, (ev, eh, sv, dlt) in enumerate(mats):
-        sl = tile[ev + sv:ev + sv + ths, dlt + 1:dlt + 1 + wb_s, :]
+        sl = sub[ev + sv:ev + sv + ths, dlt + 1:dlt + 1 + wb_s, :]
         c = jax.lax.dot_general(sl, t_ref[mi], (((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         parts[(ev, eh)] = parts[(ev, eh)] + c if (ev, eh) in parts else c
@@ -429,7 +436,7 @@ def _up_fwd_contrib(tile, t_ref, pro_ref, spec, th, wb, lo, i, n_i,
         else:
             z = parts[(ev, 0)]
         rows.append(z)
-    return jnp.stack(rows, axis=1).reshape(th, wb, lo)
+    return jnp.stack(rows, axis=1).reshape(tc, wb, lo)
 
 
 def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
@@ -500,38 +507,63 @@ def _fused_fwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask, has_bias,
 
     valid = _halo_mask(i, th, wb, wbp, n_i) if any(
         m and up_spec[j] is None for j, m in enumerate(pro_mask)) else None
-    acc = jnp.zeros((th, wb, lo), jnp.float32)
     for j in range(nj):
         in_dma(j, k % 2, k).wait()
-        tile = xts[j][k % 2]
-        if up_spec[j] is None:
-            if j in pros:
-                tile = _prologue(tile, pros[j], valid, pro_mask[j])
-            for dy in range(3):
-                for dwb in range(3):
-                    acc += jax.lax.dot_general(
-                        tile[dy:dy + th, dwb:dwb + wb, :], ts[j][dy, dwb],
-                        (((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            continue
-        acc += _up_fwd_contrib(tile, ts[j], pros.get(j), up_spec[j],
-                               th, wb, lo, i, n_i, act=pro_mask[j] or "relu")
-    if has_bias:
-        acc = acc + bias[0][None, None, :]
-    if emit_moments:
-        mom[0, :] += jnp.sum(acc, axis=(0, 1))
-        mom[1, :] += jnp.sum(acc * acc, axis=(0, 1))
-
-    # stage the output with its W halo re-zeroed, then DMA to rows
-    # [1 + i*th, 1 + i*th + th) of the halo'd output
     slot = k % 2
 
     @pl.when(k >= 2)
     def _():
         _wait_copy(ystage.at[slot], outsem.at[slot])
 
-    ystage[slot] = jnp.pad(
-        acc.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+    # MXU/VPU software pipeline (same shape as the head kernels): chunk
+    # c+1's prologues (VPU) and chunk c's moments/pad/convert (VPU) are
+    # independent of chunk c's / c+1's tap matmuls (MXU), so interleaving
+    # row-chunks lets the scheduler overlap the units instead of
+    # serializing per-tile prologue → matmul → moments phases. Prologue
+    # halo rows are recomputed per chunk (2/tc waste).
+    n_c = _head_chunks(th)
+    tc = th // n_c
+
+    def acc_chunk(c):
+        acc = jnp.zeros((tc, wb, lo), jnp.float32)
+        for j in range(nj):
+            tile = xts[j][k % 2]
+            if up_spec[j] is None:
+                sub = tile[c * tc:c * tc + tc + 2]
+                if j in pros:
+                    sub = _prologue(sub, pros[j],
+                                    valid[c * tc:c * tc + tc + 2],
+                                    pro_mask[j])
+                for dy in range(3):
+                    for dwb in range(3):
+                        acc += jax.lax.dot_general(
+                            sub[dy:dy + tc, dwb:dwb + wb, :], ts[j][dy, dwb],
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                continue
+            acc += _up_fwd_contrib(tile, ts[j], pros.get(j), up_spec[j],
+                                   th, wb, lo, i, n_i,
+                                   act=pro_mask[j] or "relu",
+                                   row0=c * (tc // 2), tc=tc)
+        if has_bias:
+            acc = acc + bias[0][None, None, :]
+        return acc
+
+    def emit_chunk(c, acc):
+        if emit_moments:
+            mom[0, :] += jnp.sum(acc, axis=(0, 1))
+            mom[1, :] += jnp.sum(acc * acc, axis=(0, 1))
+        # stage the output with its W halo re-zeroed; DMA'd to rows
+        # [1 + i*th, 1 + i*th + th) of the halo'd output after all chunks
+        ystage[slot, c * tc:(c + 1) * tc] = jnp.pad(
+            acc.astype(jnp.bfloat16), [(0, 0), (1, wbp - wb - 1), (0, 0)])
+
+    acc_c = acc_chunk(0)
+    for c in range(1, n_c):
+        acc_n = acc_chunk(c)
+        emit_chunk(c - 1, acc_c)
+        acc_c = acc_n
+    emit_chunk(n_c - 1, acc_c)
     pltpu.make_async_copy(
         ystage.at[slot], y_hbm.at[b, pl.ds(i * th + 1, th)],
         outsem.at[slot]).start()
@@ -548,7 +580,8 @@ def _wait_copy(stage_ref, sem):
 
 
 def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
-                  dts_j, dups_j, pros, dpros, i, n_i, act="relu"):
+                  dts_j, dups_j, pros, dpros, i, n_i, act="relu",
+                  row0=0, tc=None):
     """Backward for one fused-upsample input, ROW-FOLDED: every matmul runs
     at SOURCE rows (M = th/2·wb), exploiting that nearest-up row pairs read
     the same src row. Accumulates dT (+dpro) and returns the (th/2, wb_s,
@@ -564,16 +597,23 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
       row offset s = e+dyy — four matmuls per dwb at half M against
       parity-sliced dy with pair-summed tap mats (T0, T0+T1, T1+T2, T2) —
       then (r_b=2) the dup-matrix adjoint + block-parity select at src rows.
+
+    ``row0``/``tc`` select a dst row-chunk [2·row0, 2·row0 + tc) (the
+    caller's MXU/VPU pipeline); all source slices shift by ``row0``, all
+    dy slices by ``2·row0``, and prologue halo rows are recomputed.
     """
     p_s, wb_s, wbp_s, r_b, _ = spec
-    ths = th // 2
+    tc = th if tc is None else tc
+    ths = tc // 2
+    dy0 = 2 * row0
     l_s = x_tile.shape[-1]
 
+    x_sub = x_tile[row0:row0 + ths + 2]
     if j in pros:
-        valid_s = _halo_mask(i, ths, wb_s, wbp_s, n_i)
-        a_tile = _prologue(x_tile, pros[j], valid_s, act)
+        valid_s = _halo_mask(i, th // 2, wb_s, wbp_s, n_i)
+        a_tile = _prologue(x_sub, pros[j], valid_s[row0:row0 + ths + 2], act)
     else:
-        a_tile = x_tile
+        a_tile = x_sub
 
     if r_b == 1:
         u2 = a_tile  # dst block ↔ src block; wbp_s == wbp
@@ -588,7 +628,7 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
 
     # parity views of the interior dy rows: dy_par(e)[r] = dy interior row
     # 2r+e (untiled-dim reshape + slice — free addressing, no relayout)
-    dy_r = dy_bf[1:1 + th].reshape(ths, 2, wbp, lo)
+    dy_r = dy_bf[1 + dy0:1 + dy0 + tc].reshape(ths, 2, wbp, lo)
     dy_pflat = [dy_r[:, e, 1:1 + wb, :].reshape(ths * wb, lo)
                 for e in (0, 1)]
 
@@ -617,9 +657,9 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
     mats = [t0, [a + b for a, b in zip(t0, t1)],
             [a + b for a, b in zip(t1, t2)], t2]
 
-    def dy_par(s):  # (ths, wbp, lo) rows {s, s+2, ...} of the halo'd tile
-        base = s - (s % 2)
-        return dy_bf[base:base + th].reshape(ths, 2, wbp, lo)[:, s % 2]
+    def dy_par(s):  # (ths, wbp, lo) rows {s, s+2, ...} of the chunk
+        base = dy0 + s - (s % 2)
+        return dy_bf[base:base + tc].reshape(ths, 2, wbp, lo)[:, s % 2]
 
     g = jnp.zeros((ths, wb, l_s), jnp.float32)
     for s in range(4):
@@ -644,7 +684,7 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
 
     if j in pros:
         ga, dp0, dp1 = _prologue_bwd(
-            ga, x_tile[1:1 + ths, 1:1 + wb_s, :], pros[j], act)
+            ga, x_sub[1:1 + ths, 1:1 + wb_s, :], pros[j], act)
         dpros[j][0, :] += dp0
         dpros[j][1, :] += dp1
     return ga
@@ -753,58 +793,92 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
         dy_tile = jnp.where(valid, corrected, 0.0)
     dy_bf = dy_tile.astype(jnp.bfloat16)
     dy_interior = dy_tile[1:1 + th, 1:1 + wb, :]
-    # 2-D flattened view for the dW contraction (Mosaic's matmul wants a
-    # single contracting dim)
-    dy_flat = dy_interior.astype(jnp.bfloat16).reshape(th * wb, lo)
     if has_bias:
         dbias[0, :] += jnp.sum(dy_interior, axis=(0, 1))
+
+    # MXU/VPU software pipeline per input (same shape as the fwd kernel):
+    # the prologue of row-chunk c+1 (VPU) is independent of chunk c's
+    # dW/dx tap matmuls (MXU) — and the last chunk of input j overlaps the
+    # first prologue chunk of input j+1.
+    n_c = _head_chunks(th)
+    tc = th // n_c
 
     for j in range(nj):
         dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, k,
                rows_of(j)).wait()
         x_tile = xts[j][slot]
-        if up_spec[j] is not None:
-            ga = _up_bwd_input(j, up_spec[j], th, wb, wbp, lo, dy_bf,
-                               dy_flat, x_tile, tts[j], dts[j],
-                               dups.get(j), pros, dpros, i, n_i,
-                               act=pro_mask[j] or "relu")
-            wb_j, wbp_j = up_spec[j][1], up_spec[j][2]
-        else:
-            wb_j, wbp_j = wb, wbp
-            if j in pros:
-                a_tile = _prologue(x_tile, pros[j], valid, pro_mask[j])
-            else:
-                a_tile = x_tile
-            # dW: dT[dy,dwb] += a_view^T @ dy_interior (operands flattened to
-            # 2-D — Mosaic requires a single contracting dim)
-            for dyy in range(3):
-                for dwb in range(3):
-                    a2 = a_tile[dyy:dyy + th, dwb:dwb + wb, :].reshape(
-                        th * wb, l_list[j])
-                    dts[j][dyy, dwb] += jax.lax.dot_general(
-                        a2, dy_flat, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            # dx: T[-d]^T read of the halo'd dy tile, expressed on the RAW
-            # forward taps — static flip indices + rhs-dim-1 contraction
-            ga = jnp.zeros((th, wb, l_list[j]), jnp.float32)
-            for dyy in range(3):
-                for dwb in range(3):
-                    ga += jax.lax.dot_general(
-                        dy_bf[dyy:dyy + th, dwb:dwb + wb, :],
-                        tts[j][2 - dyy, 2 - dwb], (((2,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            if j in pros:
-                ga, dp0, dp1 = _prologue_bwd(
-                    ga, x_tile[1:1 + th, 1:1 + wb, :], pros[j], pro_mask[j])
-                dpros[j][0, :] += dp0
-                dpros[j][1, :] += dp1
 
         @pl.when(k >= 2)
         def _():
             _wait_copy(dxstages[j].at[slot], outsem.at[j, slot])
 
-        dxstages[j][slot] = jnp.pad(
-            ga.astype(jnp.bfloat16), [(0, 0), (1, wbp_j - wb_j - 1), (0, 0)])
+        if up_spec[j] is not None:
+            wb_j, wbp_j = up_spec[j][1], up_spec[j][2]
+            tcs = tc // 2
+
+            def up_chunk(c, j=j, wb_j=wb_j, wbp_j=wbp_j, tcs=tcs):
+                ga = _up_bwd_input(j, up_spec[j], th, wb, wbp, lo, dy_bf,
+                                   None, x_tile, tts[j], dts[j],
+                                   dups.get(j), pros, dpros, i, n_i,
+                                   act=pro_mask[j] or "relu",
+                                   row0=c * tcs, tc=tc)
+                dxstages[j][slot, c * tcs:(c + 1) * tcs] = jnp.pad(
+                    ga.astype(jnp.bfloat16),
+                    [(0, 0), (1, wbp_j - wb_j - 1), (0, 0)])
+
+            for c in range(n_c):
+                up_chunk(c)
+        else:
+            wb_j, wbp_j = wb, wbp
+
+            def pro_chunk(c, j=j):
+                sub = x_tile[c * tc:c * tc + tc + 2]
+                if j in pros:
+                    return _prologue(sub, pros[j],
+                                     valid[c * tc:c * tc + tc + 2],
+                                     pro_mask[j])
+                return sub
+
+            def mat_chunk(c, a_sub, j=j):
+                # dW: dT[dy,dwb] += a_view^T @ dy_interior (operands
+                # flattened to 2-D — Mosaic wants a single contracting dim)
+                dy_fl = dy_interior[c * tc:(c + 1) * tc].astype(
+                    jnp.bfloat16).reshape(tc * wb, lo)
+                for dyy in range(3):
+                    for dwb in range(3):
+                        a2 = a_sub[dyy:dyy + tc, dwb:dwb + wb, :].reshape(
+                            tc * wb, l_list[j])
+                        dts[j][dyy, dwb] += jax.lax.dot_general(
+                            a2, dy_fl, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                # dx: T[-d]^T read of the halo'd dy tile, expressed on the
+                # RAW forward taps — static flips + rhs-dim-1 contraction
+                ga = jnp.zeros((tc, wb, l_list[j]), jnp.float32)
+                for dyy in range(3):
+                    for dwb in range(3):
+                        ga += jax.lax.dot_general(
+                            dy_bf[c * tc + dyy:c * tc + dyy + tc,
+                                  dwb:dwb + wb, :],
+                            tts[j][2 - dyy, 2 - dwb],
+                            (((2,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                if j in pros:
+                    ga, dp0, dp1 = _prologue_bwd(
+                        ga, x_tile[1 + c * tc:1 + c * tc + tc, 1:1 + wb, :],
+                        pros[j], pro_mask[j])
+                    dpros[j][0, :] += dp0
+                    dpros[j][1, :] += dp1
+                dxstages[j][slot, c * tc:(c + 1) * tc] = jnp.pad(
+                    ga.astype(jnp.bfloat16),
+                    [(0, 0), (1, wbp_j - wb_j - 1), (0, 0)])
+
+            a_c = pro_chunk(0)
+            for c in range(1, n_c):
+                a_n = pro_chunk(c)
+                mat_chunk(c - 1, a_c)
+                a_c = a_n
+            mat_chunk(n_c - 1, a_c)
+
         pltpu.make_async_copy(
             dxstages[j].at[slot],
             dxs[j].at[b, pl.ds(i * rows_of(j) + 1, rows_of(j))],
