@@ -232,6 +232,9 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
     # run the encoder's high-res front-end as packed fused kernels too
     # (mbv3 stem + b0_0; requires packed=True and input width % 128 == 0)
     packed_frontend: bool = False
+    # chain multi-consumer packed surfaces through their consumers' backward
+    # kernels (in-kernel dx accumulation instead of XLA cotangent-sum passes)
+    thread_dx: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -335,24 +338,95 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         # one per consumer; the 4x ~0.8 ms relayout copies in the r2 trace).
         # packed_frontend features arrive as PackedT already — consumed
         # directly (pending prologue and all) when the geometry matches.
+        fr = list(fr)
         packed_fr: dict[int, object] = {}
 
         def feat_packed(l):
+            if l in packed_fr:
+                return packed_fr[l]
             g = geoms[l]
             f = fr[l + 1]
             if isinstance(f, PackedT):
                 if g is not None and f.geom == g and f.geom_src is None:
+                    packed_fr[l] = f
                     return f
                 f = f.unpack()
             if g is None:
                 return f
-            if l not in packed_fr:
-                packed_fr[l] = pack_into(f, g)
+            packed_fr[l] = pack_into(f, g)
             return packed_fr[l]
 
-        def run_node(d, l, x_in, skips):
+        # --- dx-threading of multi-consumer surfaces ---------------------
+        # Every dense node output / packed encoder feature feeding >1
+        # consumer is CHAINED through its consumers in program order: each
+        # non-final consumer's fused kernel returns the surface unchanged
+        # (identity pass-through) and its backward adds the
+        # downstream-accumulated dx in-kernel, so JAX never materializes the
+        # whole-surface cotangent-sum passes (add_add_fusion/add_any, ~2.2
+        # ms/step at 512² b32 — docs/PERF.md round-4 handoff item 2).
+        # ``remaining`` statically mirrors the node loops below; a surface
+        # threads only while later consumers remain AND the consumer reads
+        # the registry buffer itself (no repack — checked by identity).
+        remaining: dict = {}
+
+        def _count(key):
+            remaining[key] = remaining.get(key, 0) + 1
+        for layer in range(depth):
+            for d in range(depth - layer):
+                l = d + layer
+                if layer == 0:
+                    _count(("fr", d)), _count(("feat", d))
+                else:
+                    _count(("dense", d, l - 1))
+                    for idx in range(d + 1, l + 1):
+                        _count(("dense", idx, l))
+                    _count(("feat", l))
+        _count(("dense", 0, depth - 1))
+
+        def _slots():
+            for i, f in enumerate(fr):
+                yield ("fr", i), f
+            for l2, f in packed_fr.items():
+                yield ("feat", l2), f
+            for k2, f in dense.items():
+                yield ("dense",) + k2, f
+
+        def _rem_for(data):
+            return sum(remaining.get(k, 0) for k, f in _slots()
+                       if isinstance(f, PackedT) and f.data is data)
+
+        def thread_back(old_data, arr):
+            """Swap every registry slot holding ``old_data`` to the
+            pass-through version (identical values; future consumers chain
+            their dx into it)."""
+            for i, f in enumerate(fr):
+                if isinstance(f, PackedT) and f.data is old_data:
+                    fr[i] = f.replace(data=arr)
+            for l2, f in packed_fr.items():
+                if isinstance(f, PackedT) and f.data is old_data:
+                    packed_fr[l2] = f.replace(data=arr)
+            for k2, f in dense.items():
+                if isinstance(f, PackedT) and f.data is old_data:
+                    dense[k2] = f.replace(data=arr)
+
+        class _Node(nn.Module):
+            out_ch: int
+
+            @nn.compact
+            def __call__(self, inputs, train=False, thru=None):
+                if thru is None:
+                    y = PackedConvBN(self.out_ch, name="conv1")(inputs, train)
+                    return PackedConvBN(self.out_ch, name="conv2")([y], train)
+                y, thru_datas = PackedConvBN(self.out_ch, name="conv1")(
+                    inputs, train, thru=thru)
+                return (PackedConvBN(self.out_ch, name="conv2")([y], train),
+                        thru_datas)
+
+        def run_node(d, l, x_in, skips, keys):
             out_ch = plan[(d, l)][2]
             g = geoms[l]
+            for k in keys:
+                remaining[k] = remaining.get(k, 1) - 1
             if g is None:
                 y = DecoderBlock(out_ch, dtype=self.dtype,
                                  name=f"x_{d}_{l}")(
@@ -365,16 +439,20 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
                 x_up = pack_up_lazy(x_in, g) \
                     or pack_into(upsample2x(x_in, "nearest"), g)
             inputs = [x_up] + [as_packed(s, g) for s in skips]
-
-            class _Node(nn.Module):
-                out_ch: int
-
-                @nn.compact
-                def __call__(self, inputs, train=False):
-                    y = PackedConvBN(self.out_ch, name="conv1")(inputs, train)
-                    return PackedConvBN(self.out_ch, name="conv2")([y], train)
-
-            return _Node(out_ch, name=f"x_{d}_{l}")(inputs, train)
+            origs = [x_in] + list(skips)
+            flags = tuple(
+                self.thread_dx and isinstance(o, PackedT)
+                and t.data is o.data and _rem_for(t.data) > 0
+                for t, o in zip(inputs, origs))
+            if not any(flags):
+                return _Node(out_ch, name=f"x_{d}_{l}")(inputs, train)
+            y, thru_datas = _Node(out_ch, name=f"x_{d}_{l}")(
+                inputs, train, flags)
+            it = iter(thru_datas)
+            for f, t in zip(flags, inputs):
+                if f:
+                    thread_back(t.data, next(it))
+            return y
 
         dense: dict[tuple[int, int], object] = {}
         for layer in range(depth):
@@ -382,12 +460,17 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
                 l = d + layer
                 if layer == 0:
                     x_in, skips = fr[d], [feat_packed(d)]
+                    keys = [("fr", d), ("feat", d)]
                 else:
                     x_in = dense[(d, l - 1)]
                     skips = [dense[(idx, l)] for idx in range(d + 1, l + 1)] \
                         + [feat_packed(l)]
-                dense[(d, l)] = run_node(d, l, x_in, skips)
-        dense[(0, depth)] = run_node(0, depth, dense[(0, depth - 1)], [])
+                    keys = [("dense", d, l - 1)] \
+                        + [("dense", idx, l) for idx in range(d + 1, l + 1)] \
+                        + [("feat", l)]
+                dense[(d, l)] = run_node(d, l, x_in, skips, keys)
+        dense[(0, depth)] = run_node(0, depth, dense[(0, depth - 1)], [],
+                                     [("dense", 0, depth - 1)])
 
         top = dense[(0, depth)]
         if isinstance(top, PackedT):

@@ -156,7 +156,14 @@ class PackedConvBN(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, inputs: Sequence[PackedT], train: bool = False) -> PackedT:
+    def __call__(self, inputs: Sequence[PackedT], train: bool = False,
+                 thru: Sequence[bool] | None = None):
+        """``thru[j]`` marks input j for dx-threading: its raw data array is
+        returned unchanged as an extra output, and feeding the surface's
+        LATER consumers from that pass-through chains their backward kernels
+        (each adds the downstream-accumulated dx in-kernel instead of JAX
+        inserting whole-surface cotangent-sum passes). Returns ``out`` or
+        ``(out, thru_datas)`` when ``thru`` is given."""
         g = inputs[0].geom
         cin_total = sum(t.c for t in inputs)
         kernel, b = _Kernel3x3(cin_total, self.out_ch,
@@ -164,6 +171,11 @@ class PackedConvBN(nn.Module):
         cop = g.cp(self.out_ch)
         emit = bool(train and self.use_bn)
         bias_l = None if b is None else pc.bias_lanes(b, g.p, cop)
+        thru_t = None if thru is None or not any(thru) \
+            else tuple(bool(f) for f in thru)
+        thru_datas = None if thru is None else tuple(
+            t.data for t, f in zip(inputs, thru_t or (False,) * len(inputs))
+            if f)
 
         if self.is_initializing():
             # registration-only pass: params above are created; skip the
@@ -200,16 +212,24 @@ class PackedConvBN(nn.Module):
                                for t, p in zip(inputs, pros)),
                 has_bias=not self.use_bn,
                 emit_moments=emit,
-                up_spec=tuple(specs))
-            y, mom = pc.fused_conv(cfg, tuple(datas), tuple(tees),
-                                   tuple(pros), bias_l)
+                up_spec=tuple(specs),
+                thru=thru_t)
+            out = pc.fused_conv(cfg, tuple(datas), tuple(tees),
+                                tuple(pros), bias_l)
+            y, mom = out[0], out[1]
+            if thru_t is not None:
+                thru_datas = out[2]
 
         if not self.use_bn:
-            return PackedT(y, None, self.out_ch, g)
-        n_b = inputs[0].data.shape[0]
-        pro = DeferredBN(self.out_ch, name="bn")(
-            mom, n_b * g.h * g.w, g.p, cop, train)
-        return PackedT(y, pro, self.out_ch, g)
+            res = PackedT(y, None, self.out_ch, g)
+        else:
+            n_b = inputs[0].data.shape[0]
+            pro = DeferredBN(self.out_ch, name="bn")(
+                mom, n_b * g.h * g.w, g.p, cop, train)
+            res = PackedT(y, pro, self.out_ch, g)
+        if thru is None:
+            return res
+        return res, thru_datas
 
 
 class PackedHeadLoss(nn.Module):

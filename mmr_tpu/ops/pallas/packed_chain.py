@@ -691,13 +691,17 @@ def _up_bwd_input(j, spec, th, wb, wbp, lo, dy_bf, dy_flat, x_tile, tts_j,
 
 
 def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
-                      has_bias, emit_moments, n_b, up_spec):
-    """refs: [dy, y?] [x_0..] [Tt_0..] [pro_j..] [dm?]
+                      has_bias, emit_moments, n_b, up_spec,
+                      thru_mask=None):
+    """refs: [dy, y?] [x_0..] [Tt_0..] [pro_j..] [dm?] [dacc_j..]
     outs: [dx_0..] [dT_0..] [dpro_j..] [dbias?]
-    scratch: [dyt, yt?, xt_0.., dxstage_0.., zstage, insem, outsem,
-    halosem]."""
+    scratch: [dyt, yt?, xt_0.., dxstage_0.., zstage, dacct_j.., insem,
+    outsem, halosem, daccsem?]. ``dacc_j`` (per thru-flagged input) is the
+    dx already accumulated by every LATER consumer of input j's surface —
+    added in-kernel while staging this kernel's own dx contribution."""
     wb, wbp = geom.wb, geom.wbp
     nj = len(l_list)
+    thru_mask = thru_mask or (False,) * nj
     r = list(refs)
     dy_hbm = r.pop(0)
     y_hbm = r.pop(0) if emit_moments else None
@@ -712,6 +716,10 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
         if u is not None and u[3] == 2:
             dups[j] = (r.pop(0), r.pop(0), r.pop(0), r.pop(0))
     dm = r.pop(0) if emit_moments else None
+    daccs = {}
+    for j, t in enumerate(thru_mask):
+        if t:
+            daccs[j] = r.pop(0)
     # outputs
     dxs = [r.pop(0) for _ in range(nj)]
     dts = [r.pop(0) for _ in range(nj)]
@@ -726,9 +734,11 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
     xts = [r.pop(0) for _ in range(nj)]
     dxstages = [r.pop(0) for _ in range(nj)]
     zstages = [r.pop(0) for _ in range(nj)]
+    dacct = {j: r.pop(0) for j in sorted(daccs)}
     insem = r.pop(0)
     outsem = r.pop(0)
     halosem = r.pop(0)
+    daccsem = r.pop(0) if daccs else None
 
     b, i = pl.program_id(0), pl.program_id(1)
     k = b * n_i + i
@@ -743,6 +753,15 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
     def rows_of(j):
         return th // 2 if up_spec[j] is not None else th
 
+    dacc_idx = {j: a for a, j in enumerate(sorted(daccs))}
+
+    def dacc_in(j, slot, kk):
+        bb, ii = kk // n_i, kk % n_i
+        rj = rows_of(j)
+        return pltpu.make_async_copy(
+            daccs[j].at[bb, pl.ds(ii * rj + 1, rj)], dacct[j].at[slot],
+            daccsem.at[dacc_idx[j], slot])
+
     def start_all(slot, kk):
         dma_in(dy_hbm, dyt, 0, slot, kk).start()
         if emit_moments:
@@ -750,6 +769,8 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
         for j in range(nj):
             dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, kk,
                    rows_of(j)).start()
+        for j in daccs:
+            dacc_in(j, slot, kk).start()
 
     @pl.when(k == 0)
     def _():
@@ -807,10 +828,20 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
         dma_in(xs[j], xts[j], j + 1 + int(emit_moments), slot, k,
                rows_of(j)).wait()
         x_tile = xts[j][slot]
+        if j in daccs:
+            dacc_in(j, slot, k).wait()
 
         @pl.when(k >= 2)
         def _():
             _wait_copy(dxstages[j].at[slot], outsem.at[j, slot])
+
+        def stage_dx(c_lo, c_hi, ga, wb_j, wbp_j, j=j):
+            """pad the chunk's dx to the staging width, fold in the
+            downstream-accumulated dx (f32 add, single bf16 cast), stage."""
+            out = jnp.pad(ga, [(0, 0), (1, wbp_j - wb_j - 1), (0, 0)])
+            if j in daccs:
+                out = out + dacct[j][slot, c_lo:c_hi].astype(jnp.float32)
+            dxstages[j][slot, c_lo:c_hi] = out.astype(jnp.bfloat16)
 
         if up_spec[j] is not None:
             wb_j, wbp_j = up_spec[j][1], up_spec[j][2]
@@ -822,9 +853,7 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
                                    dups.get(j), pros, dpros, i, n_i,
                                    act=pro_mask[j] or "relu",
                                    row0=c * tcs, tc=tc)
-                dxstages[j][slot, c * tcs:(c + 1) * tcs] = jnp.pad(
-                    ga.astype(jnp.bfloat16),
-                    [(0, 0), (1, wbp_j - wb_j - 1), (0, 0)])
+                stage_dx(c * tcs, (c + 1) * tcs, ga, wb_j, wbp_j)
 
             for c in range(n_c):
                 up_chunk(c)
@@ -868,9 +897,7 @@ def _fused_bwd_kernel(*refs, th, n_i, geom, l_list, lo, pro_mask,
                         pros[j], pro_mask[j])
                     dpros[j][0, :] += dp0
                     dpros[j][1, :] += dp1
-                dxstages[j][slot, c * tc:(c + 1) * tc] = jnp.pad(
-                    ga.astype(jnp.bfloat16),
-                    [(0, 0), (1, wbp_j - wb_j - 1), (0, 0)])
+                stage_dx(c * tc, (c + 1) * tc, ga, wb_j, wbp_j)
 
             a_c = pro_chunk(0)
             for c in range(1, n_c):
@@ -909,10 +936,22 @@ class FusedCfg:
     # per input: None, or (p_src, wb_src, wbp_src, r_b, mats) — the input is
     # the ×2-nearest-upsample of a g_src-packed tensor, consumed fused
     up_spec: tuple = None
+    # per input: True marks the input as dx-THREADED — fused_conv returns it
+    # unchanged as an extra output, and the backward kernel receives that
+    # output's cotangent (the dx accumulated by every LATER consumer of the
+    # surface) and adds it in-kernel while staging its own dx. Chaining a
+    # multi-consumer surface through its consumers this way removes the XLA
+    # add_add_fusion/add_any cotangent-sum passes (each read two full
+    # activation surfaces and wrote one; ~2.2 ms/step at 512² b32).
+    thru: tuple = None
 
     @property
     def ups(self) -> tuple:
         return self.up_spec or (None,) * len(self.l_list)
+
+    @property
+    def thrus(self) -> tuple:
+        return self.thru or (False,) * len(self.l_list)
 
     def _tile_rows(self, j: int, th: int) -> tuple:
         """(rows, wbp) of input j's VMEM tile at dst row tile th."""
@@ -960,6 +999,10 @@ class FusedCfg:
         stage = sum((2 * (th // 2 if self.ups[j] else th) + 1)
                     * self._tile_rows(j, th)[1] * self.l_list[j] * 2
                     for j in range(nj))
+        for j, t in enumerate(self.thrus):  # dacc double-buffer tiles
+            if t:
+                stage += 2 * (th // 2 if self.ups[j] else th) \
+                    * self._tile_rows(j, th)[1] * self.l_list[j] * 2
         return tiles + tees + dts + acc + stage
 
     def th(self, backward: bool) -> int:
@@ -977,6 +1020,7 @@ class FusedCfg:
             l_list=tuple(self.l_list[i] for i in idxs),
             pro_mask=tuple(self.pro_mask[i] for i in idxs),
             up_spec=tuple(self.ups[i] for i in idxs),
+            thru=tuple(self.thrus[i] for i in idxs),
             has_bias=self.has_bias if has_bias is None else has_bias)
 
 
@@ -1043,9 +1087,15 @@ def _fwd_call(cfg: FusedCfg, inputs, tees, pros, bias):
     return outs[0], None
 
 
-def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
+def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom, daccs=None):
     g = cfg.geom
     nj = len(inputs)
+    if daccs is None:
+        daccs = (None,) * nj
+    # effective thread mask: flagged in cfg AND an accumulated-dx cotangent
+    # actually arrived (the thru output was consumed downstream)
+    thru_eff = tuple(bool(t) and daccs[j] is not None
+                     for j, t in enumerate(cfg.thrus))
     th = cfg.th(backward=True)
     n_i = g.h // th
     n_b = inputs[0].shape[0]
@@ -1099,6 +1149,10 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
     if cfg.emit_moments:
         in_specs.append(const((2, cfg.lo)))
         args.append(dmom.astype(jnp.float32))
+    for j, t in enumerate(thru_eff):
+        if t:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            args.append(daccs[j].astype(jnp.bfloat16))
 
     def dx_shape(j, l):
         u = cfg.ups[j]
@@ -1137,17 +1191,22 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
                 for j, l in enumerate(cfg.l_list)]
     scratch += [pltpu.VMEM((1, stage_wbp(j), l), jnp.bfloat16)
                 for j, l in enumerate(cfg.l_list)]
+    scratch += [pltpu.VMEM((2, stage_rows(j), stage_wbp(j), cfg.l_list[j]),
+                           jnp.bfloat16)
+                for j, t in enumerate(thru_eff) if t]
     scratch += [
         pltpu.SemaphoreType.DMA((nj + 1 + int(cfg.emit_moments), 2)),
         pltpu.SemaphoreType.DMA((nj, 2)),
         pltpu.SemaphoreType.DMA((nj, 2)),
     ]
+    if any(thru_eff):
+        scratch.append(pltpu.SemaphoreType.DMA((sum(thru_eff), 2)))
     outs = pl.pallas_call(
         functools.partial(
             _fused_bwd_kernel, th=th, n_i=n_i, geom=g,
             l_list=cfg.l_list, lo=cfg.lo, pro_mask=cfg.pro_mask,
             has_bias=cfg.has_bias, emit_moments=cfg.emit_moments, n_b=n_b,
-            up_spec=cfg.ups),
+            up_spec=cfg.ups, thru_mask=thru_eff),
         grid=(n_b, n_i),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1170,22 +1229,43 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom):
 
 # ------------------------------------------------------------ the primitive
 
+def _thru_out(cfg, inputs):
+    return tuple(x for x, t in zip(inputs, cfg.thrus) if t)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_conv(cfg: FusedCfg, inputs, tees, pros, bias):
     """Multi-input fused packed conv. All array args are pytrees (tuples);
     ``pros[j]`` is a (2, L_j) f32 (scale, shift) pair or None; ``bias`` is
-    (1, Lo) f32 or None. Returns ``(y_packed_halo, moments_or_None)``."""
-    return _fwd_call(cfg, inputs, tees, pros, bias)
+    (1, Lo) f32 or None. Returns ``(y_packed_halo, moments_or_None)``.
+
+    With ``cfg.thru`` set, additionally returns the flagged inputs UNCHANGED
+    as a third element (identity pass-through). Feeding a multi-consumer
+    surface's LATER consumers from a thru output chains the consumers'
+    backward kernels: each adds the downstream-accumulated dx in-kernel
+    instead of JAX inserting whole-surface cotangent-sum passes."""
+    out = _fwd_call(cfg, inputs, tees, pros, bias)
+    if any(cfg.thrus):
+        return out[0], out[1], _thru_out(cfg, inputs)
+    return out
 
 
 def _fused_conv_fwd(cfg, inputs, tees, pros, bias):
     y, mom = _fwd_call(cfg, inputs, tees, pros, bias)
+    if any(cfg.thrus):
+        return (y, mom, _thru_out(cfg, inputs)), (inputs, tees, pros, y)
     return (y, mom), (inputs, tees, pros, y)
 
 
 def _fused_conv_bwd(cfg, res, cot):
     inputs, tees, pros, y = res
-    dy, dmom = cot
+    if any(cfg.thrus):
+        dy, dmom, dthru = cot
+        it = iter(dthru)
+        daccs = tuple(next(it) if t else None for t in cfg.thrus)
+    else:
+        dy, dmom = cot
+        daccs = (None,) * len(inputs)
     if cfg.emit_moments and dmom is None:
         dmom = jnp.zeros((2, cfg.lo), jnp.float32)
     nj = len(inputs)
@@ -1222,7 +1302,7 @@ def _fused_conv_bwd(cfg, res, cot):
 
     if len(groups) == 1:
         dxs, dts, dpros, dbias = _bwd_call(cfg, inputs, tees, pros, y, dy,
-                                           dmom)
+                                           dmom, daccs)
         return dxs, fold_dts(dts), dpros, dbias
     dxs = [None] * nj
     dts = [None] * nj
@@ -1232,7 +1312,8 @@ def _fused_conv_bwd(cfg, res, cot):
         sub = cfg.subset(idxs, has_bias=cfg.has_bias and gi == 0)
         gx, gt, gp, gb = _bwd_call(
             sub, tuple(inputs[i] for i in idxs), tuple(tees[i] for i in idxs),
-            tuple(pros[i] for i in idxs), y, dy, dmom)
+            tuple(pros[i] for i in idxs), y, dy, dmom,
+            tuple(daccs[i] for i in idxs))
         for a, i in enumerate(idxs):
             dxs[i], dts[i], dpros[i] = gx[a], gt[a], gp[a]
         if gi == 0 and cfg.has_bias:

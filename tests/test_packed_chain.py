@@ -1123,3 +1123,149 @@ def test_expm1_nonpos_matches_numpy():
     assert rel.max() < 2e-6
     # the tiny-|x| tail keeps its value instead of flushing to 0
     assert got[0] != 0.0
+
+
+class TestThreadedDx:
+    """cfg.thru dx-threading: a multi-consumer surface is chained through
+    its consumers (each later consumer's accumulated dx is added in the
+    earlier consumer's backward kernel) — total gradients must match the
+    unchained fan-out, where JAX sums the per-consumer cotangents with XLA
+    add passes (the ~2.2 ms/step the threading removes at 512² b32)."""
+
+    def _grads(self, rng, thread: bool):
+        B, H, W, C, CO = 1, 8, 32, 8, 8
+        g = pc.row_geom(H, W)
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32),
+                        jnp.bfloat16)
+        ws = [jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+              for _ in range(3)]
+        s = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+        t = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+        rs = [jnp.asarray(rng.randn(B, H, W, CO).astype(np.float32))
+              for _ in range(3)]
+
+        def loss(x, ws, s, t):
+            pro = pc.bn_affine_lanes(s, t, jnp.zeros(C), jnp.ones(C) - 1e-5,
+                                     1e-5, g.p, g.cp(C))
+            xp = pc.to_packed(x, g)
+            tees = tees_for(g, ws, CO)
+            cfg = make_cfg(g, [C], CO, [True], emit_moments=False)
+            cfg_t = cfg if not thread else __import__(
+                "dataclasses").replace(cfg, thru=(True,))
+            total = 0.0
+            for i in range(3):
+                use = cfg_t if i < 2 else cfg  # last consumer: no thru
+                out = pc.fused_conv(use, (xp,), (tees[i],), (pro,), None)
+                if len(out) == 3:
+                    xp = out[2][0]  # chain the pass-through
+                y = pc.from_packed(out[0], g, CO).astype(jnp.float32)
+                total = total + jnp.sum(y * rs[i])
+            return total
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(x, tuple(ws), s, t)
+
+    def test_threaded_matches_fanout(self, rng):
+        gt = self._grads(rng, thread=True)
+        gp = self._grads(rng, thread=False)
+        for a, e, name in zip(jax.tree.leaves(gt), jax.tree.leaves(gp),
+                              ("dx", "dw0", "dw1", "dw2", "ds", "dt")):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(e, np.float32),
+                atol=0.05, rtol=0.05, err_msg=name)
+
+    def test_thru_fwd_is_identity(self, rng):
+        B, H, W, C, CO = 1, 8, 32, 8, 8
+        g = pc.row_geom(H, W)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32),
+                        jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+        xp = pc.to_packed(x, g)
+        import dataclasses
+        cfg = dataclasses.replace(
+            make_cfg(g, [C], CO, [False], emit_moments=False), thru=(True,))
+        y, mom, (xp_thru,) = pc.fused_conv(cfg, (xp,), tees_for(g, [w], CO),
+                                           (None,), None)
+        np.testing.assert_array_equal(np.asarray(xp_thru), np.asarray(xp))
+        # and the plain cfg still returns a 2-tuple
+        y2, _ = pc.fused_conv(
+            make_cfg(g, [C], CO, [False], emit_moments=False),
+            (xp,), tees_for(g, [w], CO), (None,), None)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+    def test_threaded_up_input_chain(self, rng):
+        """Chain where the LAST consumer reads the surface as a lazy
+        ×2-upsample input (same source buffer layout) and the first as a
+        regular same-scale input — the production decoder's shape."""
+        B, Hs, Ws, C, CO = 1, 8, 32, 8, 8
+        g_src = pc.row_geom(Hs, Ws)
+        g_dst = pc.RowGeom(2 * Hs, 2 * Ws, g_src.p, 2 * g_src.wb,
+                           pc._round_up(2 * g_src.wb + 2, 8))
+        if not pc.up_compatible(g_src, g_dst):
+            pytest.skip("incompatible up geometry")
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(B, Hs, Ws, C).astype(np.float32),
+                        jnp.bfloat16)
+        w1 = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+        r1 = jnp.asarray(rng.randn(B, Hs, Ws, CO).astype(np.float32))
+        r2 = jnp.asarray(rng.randn(B, 2 * Hs, 2 * Ws, CO).astype(np.float32))
+        import dataclasses
+
+        def loss(x, w1, w2, thread):
+            xp = pc.to_packed(x, g_src)
+            cfg1 = make_cfg(g_src, [C], CO, [False], emit_moments=False)
+            if thread:
+                cfg1 = dataclasses.replace(cfg1, thru=(True,))
+            out = pc.fused_conv(cfg1, (xp,), tees_for(g_src, [w1], CO),
+                                (None,), None)
+            xp2 = out[2][0] if len(out) == 3 else xp
+            cfg2 = pc.FusedCfg(
+                geom=g_dst, l_list=(g_src.lanes(C),), lo=g_dst.lanes(CO),
+                pro_mask=(None,), has_bias=False, emit_moments=False,
+                up_spec=(pc.up_spec_for(g_src, g_dst, C),))
+            y2, _ = pc.fused_conv(cfg2, (xp2,), (w2,), (None,), None)
+            l1 = jnp.sum(pc.from_packed(out[0], g_src, CO).astype(
+                jnp.float32) * r1)
+            l2 = jnp.sum(pc.from_packed(y2, g_dst, CO).astype(
+                jnp.float32) * r2)
+            return l1 + l2
+
+        gt = jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2, True)
+        gp = jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2, False)
+        for a, e, name in zip(gt, gp, ("dx", "dw1", "dw2")):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(e, np.float32),
+                atol=0.05, rtol=0.05, err_msg=name)
+
+
+def test_packed_decoder_thread_dx_grads(rng):
+    """The dx-threaded packed decoder (default) computes the same gradients
+    as the unthreaded one (thread_dx=False, XLA cotangent sums) — only the
+    accumulation site differs (in-kernel f32 add vs XLA bf16 add passes)."""
+    from mmr_tpu.losses import dice_ce_loss
+    from mmr_tpu.models.decoders import UnetPlusPlusModel
+
+    kw = dict(num_classes=4, encoder_name="tu-mobilenetv3_small_100",
+              packed=True)
+    m_t = UnetPlusPlusModel(**kw)
+    m_n = UnetPlusPlusModel(**kw, thread_dx=False)
+    x = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, (1, 64, 128)))
+    variables = m_n.init(jax.random.key(0), x, train=False)
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)})
+        return dice_ce_loss(out, labels)
+
+    g_t = jax.grad(loss)(variables["params"], m_t)
+    g_n = jax.grad(loss)(variables["params"], m_n)
+    paths_t = jax.tree_util.tree_leaves_with_path(g_t)
+    paths_n = jax.tree_util.tree_leaves_with_path(g_n)
+    for (p, a), (_, b) in zip(paths_t, paths_n):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-2, rtol=2e-2, err_msg=jax.tree_util.keystr(p))
