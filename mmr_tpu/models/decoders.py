@@ -426,7 +426,10 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
             out_ch = plan[(d, l)][2]
             g = geoms[l]
             for k in keys:
-                remaining[k] = remaining.get(k, 1) - 1
+                # fail loudly if the static ``remaining`` mirror ever drifts
+                # from the node loops (a silent miss would degrade to a dead
+                # thru output / missed threading with no signal)
+                remaining[k] -= 1
             if g is None:
                 y = DecoderBlock(out_ch, dtype=self.dtype,
                                  name=f"x_{d}_{l}")(

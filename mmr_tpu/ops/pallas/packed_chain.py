@@ -1096,7 +1096,10 @@ def _bwd_call(cfg: FusedCfg, inputs, tees, pros, y, dy, dmom, daccs=None):
     # actually arrived (the thru output was consumed downstream)
     thru_eff = tuple(bool(t) and daccs[j] is not None
                      for j, t in enumerate(cfg.thrus))
-    th = cfg.th(backward=True)
+    # size the row tile for the REAL scratch footprint: disabled thru flags
+    # (no cotangent arrived) allocate no dacc double-buffer, so charging
+    # them in vmem() would shrink th below what this launch actually needs
+    th = dataclasses.replace(cfg, thru=thru_eff).th(backward=True)
     n_i = g.h // th
     n_b = inputs[0].shape[0]
     const = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),

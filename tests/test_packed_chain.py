@@ -1132,10 +1132,10 @@ class TestThreadedDx:
     unchained fan-out, where JAX sums the per-consumer cotangents with XLA
     add passes (the ~2.2 ms/step the threading removes at 512² b32)."""
 
-    def _grads(self, rng, thread: bool):
+    def _grads(self, thread: bool):
         B, H, W, C, CO = 1, 8, 32, 8, 8
         g = pc.row_geom(H, W)
-        rng = np.random.RandomState(7)
+        rng = np.random.RandomState(7)  # fixed: both calls must share data
         x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32),
                         jnp.bfloat16)
         ws = [jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
@@ -1165,9 +1165,9 @@ class TestThreadedDx:
 
         return jax.grad(loss, argnums=(0, 1, 2, 3))(x, tuple(ws), s, t)
 
-    def test_threaded_matches_fanout(self, rng):
-        gt = self._grads(rng, thread=True)
-        gp = self._grads(rng, thread=False)
+    def test_threaded_matches_fanout(self):
+        gt = self._grads(thread=True)
+        gp = self._grads(thread=False)
         for a, e, name in zip(jax.tree.leaves(gt), jax.tree.leaves(gp),
                               ("dx", "dw0", "dw1", "dw2", "ds", "dt")):
             np.testing.assert_allclose(
@@ -1193,7 +1193,7 @@ class TestThreadedDx:
             (xp,), tees_for(g, [w], CO), (None,), None)
         np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
 
-    def test_threaded_up_input_chain(self, rng):
+    def test_threaded_up_input_chain(self):
         """Chain where the LAST consumer reads the surface as a lazy
         ×2-upsample input (same source buffer layout) and the first as a
         regular same-scale input — the production decoder's shape."""
