@@ -46,3 +46,68 @@ def test_verify_store_roundtrip(tmp_path, monkeypatch, rng):
     np.savez(path, **flat)
     with pytest.raises(ValueError, match="missing leaf"):
         verify_store("resnet18", path)
+
+
+def test_encoder_weights_imagenet_end_to_end(tmp_path, monkeypatch):
+    """The exact path a user with a real converted ``.npz`` takes
+    (reference: ``Main_MMR_SegModel.py:589`` + ``common_utils.py:236``
+    ``encoder_weights: 'imagenet'``): a manifest-shaped store on disk →
+    ``Trainer(config)`` with ``encoder_weights='imagenet'`` → the
+    initialized encoder params/batch_stats are EXACTLY the store leaves
+    (not a fresh random init) → a train step runs on them."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmr_tpu.config import get_default_config
+    from mmr_tpu.data import PatchSampler, make_synthetic_dataset
+    from mmr_tpu.data.zarr_io import list_dataset_stores
+    from mmr_tpu.models.encoders import get_encoder
+    from mmr_tpu.models.pretrained import _flatten, save_weight_store
+    from mmr_tpu.train.engine import Trainer
+
+    monkeypatch.setenv("MMR_TPU_WEIGHTS_DIR", str(tmp_path / "weights"))
+    enc_name = "tu-mobilenetv3_small_100"  # the flagship default encoder
+
+    # a fake "converted imagenet" store: correct tree (init the bare flax
+    # encoder), every leaf refilled with values no fresh init would produce
+    enc = get_encoder(enc_name).build(jnp.float32, "encoder")
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        ev = enc.init(jax.random.key(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    fill = np.random.RandomState(42)
+    mark = jax.tree_util.tree_map(
+        lambda a: fill.uniform(0.01, 0.2, np.shape(a)).astype(np.float32), ev)
+    path = save_weight_store(enc_name, mark["params"], mark["batch_stats"])
+    verify_store(enc_name, path)  # the store IS manifest-shaped
+
+    root = tmp_path / "ds"
+    make_synthetic_dataset(root, n_videos=2, frames_per_video=2, height=64,
+                           width=80, n_classes=2, patch_size=(32, 32))
+    config = get_default_config(2, [32, 32])
+    config.update({"results_path": str(tmp_path / "res"),
+                   "dataset_path": str(root), "patch_size": [32, 32],
+                   "n_epochs": 1, "batch_size": 8, "steps_per_epoch": 1,
+                   "val_steps_per_epoch": 1, "precision": "fp32"})
+    assert config["model"]["encoder_weights"] == "imagenet"  # the default
+    trainer = Trainer(config)
+    state = trainer.init_state()
+
+    # initialized == store, leaf for leaf (params AND batch_stats)
+    got_p = _flatten(jax.tree_util.tree_map(
+        np.asarray, state.params["encoder"]))
+    want_p = _flatten(mark["params"])
+    assert set(got_p) == set(want_p)
+    for k in want_p:
+        np.testing.assert_array_equal(got_p[k], want_p[k], err_msg=k)
+    got_s = _flatten(jax.tree_util.tree_map(
+        np.asarray, state.batch_stats["encoder"]))
+    for k, v in _flatten(mark["batch_stats"]).items():
+        np.testing.assert_array_equal(got_s[k], v, err_msg=k)
+
+    # and the loaded weights train: one epoch (1 step + 1 val step)
+    stores = list_dataset_stores(root)
+    history = trainer.train(
+        PatchSampler(stores[:1], (32, 32), 8, 1, seed=0),
+        PatchSampler(stores[1:], (32, 32), 8, 1,
+                     oversample_foreground_percent=0.0, seed=1))
+    assert np.isfinite(history["train_loss"]).all()
