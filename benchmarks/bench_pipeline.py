@@ -141,9 +141,15 @@ def main_overlapped(frames_hw=(1080, 1920), batch=32, steps=16, workers=None):
     dev_rate = n_dev * batch / (time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    n_h2d = 3
-    for _ in range(n_h2d):
-        db = transfer(first)
+    n_h2d = 6
+    # issue the transfers back-to-back, sync at the END: the overlapped
+    # pipeline never pays a host round-trip between batches, so the
+    # comparable standalone rate is the SUSTAINED transfer rate. (The r4
+    # artifact synced a scalar after EVERY transfer — that per-batch RPC
+    # round-trip made the "standalone" stage look slower than the
+    # overlapped end-to-end, shipping an impossible efficiency of 1.034.)
+    dbs = [transfer(first) for _ in range(n_h2d)]
+    for db in dbs:
         np.asarray(db[0][0, 0, 0, 0, 0])  # force completion
     h2d_rate = n_h2d * batch / (time.perf_counter() - t0)
 
@@ -155,29 +161,52 @@ def main_overlapped(frames_hw=(1080, 1920), batch=32, steps=16, workers=None):
 
     # --- overlapped end-to-end: sample + transfer + step concurrently.
     # TWO prefetch stages so sampling and H2D each get their own thread
-    # (one stage would serialize them: 1/(1/host + 1/h2d) < min of the two)
+    # (one stage would serialize them: 1/(1/host + 1/h2d) < min of the two).
+    # The bottleneck stage's rate is measured IN-WINDOW (busy seconds inside
+    # the overlapped run): the axon tunnel's rate drifts minute-to-minute
+    # (shared device), so a standalone rate measured in a different window
+    # can come out *below* the overlapped end-to-end — the r4 artifact and
+    # the first r5 rerun both shipped a physically-impossible efficiency
+    # (1.03 / 1.19) that way. efficiency = busy/window <= 1 by construction.
+    h2d_busy = [0.0]
+
+    def transfer_timed(item):
+        t = time.perf_counter()
+        out = transfer(item)
+        np.asarray(out[0][0, 0, 0, 0, 0])  # completion inside stage thread
+        h2d_busy[0] += time.perf_counter() - t
+        return out
+
     t0 = time.perf_counter()
     n_e2e = 0
     sampled = PrefetchIterator(sampler.epoch(2, num_workers=workers),
                                lambda b: b, depth=2)
-    for i, db in enumerate(PrefetchIterator(sampled, transfer, depth=2)):
+    for i, db in enumerate(PrefetchIterator(sampled, transfer_timed, depth=2)):
         state, met = step(state, db[0], db[1], jnp.float32(1e-4),
                           jrandom.key(i))
         n_e2e += batch
     np.asarray(met["loss"])  # hard sync
-    e2e_rate = n_e2e / (time.perf_counter() - t0)
+    window = time.perf_counter() - t0
+    e2e_rate = n_e2e / window
+    h2d_in_window = n_e2e / h2d_busy[0]
 
-    bound = min(dev_rate, h2d_rate, host_rate)
+    bound = min(dev_rate, h2d_in_window, host_rate)
     print(json.dumps({
         "metric": "end_to_end_train_frames_per_sec@512x512_overlapped",
         "value": round(e2e_rate, 1),
         "unit": "frames/s",
         "device_step_rate": round(dev_rate, 1),
-        "h2d_rate": round(h2d_rate, 1),
+        "h2d_rate_standalone": round(h2d_rate, 1),
+        "h2d_rate_in_window": round(h2d_in_window, 1),
         "host_sampler_rate": round(host_rate, 1),
         "slowest_stage_bound": round(bound, 1),
         "overlap_efficiency": round(e2e_rate / bound, 3),
         "host_cores": os.cpu_count(),
+        "note": "h2d (the bound on this tunnel-fed dev host) is measured "
+                "in-window: busy seconds inside the overlapped run, so "
+                "efficiency = busy/window <= 1 by construction; the "
+                "standalone h2d rate is reported for context only (the "
+                "shared tunnel's rate drifts between windows)",
     }))
 
 
