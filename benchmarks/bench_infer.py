@@ -35,9 +35,21 @@ def main():
                                jnp.zeros((1, 128, 128, 3), jnp.float32),
                                train=False)
     variables = jax.device_put(variables)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     pre = get_preprocessing("tu-mobilenetv3_small_100")
+    # bf16 window surface (evaluator default; reference runs fp16 autocast
+    # end-to-end on its real-time path). --sweep tries sw_batch sizes.
+    sw_batch = int(sys.argv[sys.argv.index("--sw_batch") + 1]) \
+        if "--sw_batch" in sys.argv else 24
     sw = make_sliding_window_fn(model, variables, (512, 640), 10,
-                                sw_batch_size=24, overlap=0.5, preprocess=pre)
+                                sw_batch_size=sw_batch, overlap=0.5,
+                                preprocess=pre,
+                                compute_dtype=jnp.bfloat16)
 
     # Two temporal-batch shapes (VERDICT r3 'do this' #4 — report both):
     # - 6 frames: the reference's DEFAULT ``infer_batch_size``
@@ -71,6 +83,8 @@ def main():
         "unit": "frames/s/chip",
         "default_6frame": round(fps6, 2),
         "steadystate_12frame": round(fps12, 2),
+        "sw_batch_size": sw_batch,
+        "compute_dtype": "bfloat16",
     }))
 
 

@@ -29,8 +29,17 @@ def load_events(root: str):
 
 
 def main():
-    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mmr_trace"
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    # --detail SUBSTR: itemize events whose name/category matches SUBSTR by
+    # their full long_name (shapes included) — the drill-down used to break
+    # open opaque fusion buckets (docs/PERF.md round-5, VERDICT r4 #4)
+    detail = None
+    argv = list(sys.argv[1:])
+    if "--detail" in argv:
+        i = argv.index("--detail")
+        detail = argv[i + 1]
+        del argv[i:i + 2]
+    root = argv[0] if argv else "/tmp/mmr_trace"
+    top_n = int(argv[1]) if len(argv) > 1 else 40
     events, path = load_events(root)
     print(f"# {path}")
 
@@ -65,6 +74,23 @@ def main():
     for key, dur in by_name.most_common(top_n):
         print(f"{dur / 1e3:9.2f} ms  {100 * dur / total:5.1f}%  "
               f"x{calls[key]:<5d} {key}")
+
+    if detail:
+        by_long = collections.Counter()
+        lcalls = collections.Counter()
+        for e in dev:
+            a = e.get("args", {})
+            name = e.get("name", "?")
+            if detail not in name and detail not in a.get("hlo_category", ""):
+                continue
+            ln = a.get("long_name") or a.get("tf_op") or name
+            by_long[ln] += e["dur"]
+            lcalls[ln] += 1
+        sub = sum(by_long.values())
+        print(f"\n== detail '{detail}': {sub / 1e3:.2f} ms across "
+              f"{sum(lcalls.values())} events ==")
+        for ln, dur in by_long.most_common(top_n):
+            print(f"{dur / 1e3:9.2f} ms  x{lcalls[ln]:<5d} {ln[:240]}")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # reuse the bench's persistent compile cache (tunnel compiles are
+        # 8-20 min; the trace should never pay them twice)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from mmr_tpu.core.mesh import create_mesh, shard_batch
     from mmr_tpu.data.augment import AugmentConfig
     from mmr_tpu.losses import dice_ce_loss

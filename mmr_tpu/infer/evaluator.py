@@ -63,11 +63,18 @@ def run_inference(
     if plot_dir is not None:
         create_config(config, plot_dir)
 
+    import jax.numpy as jnp
+
+    # bf16 window surface by default: the reference's real-time path runs
+    # the model AND MONAI's blending under fp16 autocast
+    # (Main_MMR_SegModel.py:1274-1317); f32 blend accumulation either way
     sw = make_sliding_window_fn(
         model, variables, config["patch_size"], n_classes + 1,
         sw_batch_size=int(config.get("sw_batch_size", 24)),
         overlap=float(config.get("sw_overlap", 0.5)),
-        preprocess=preprocess)
+        preprocess=preprocess,
+        compute_dtype=(jnp.float32 if config.get("sw_fp32_blend")
+                       else jnp.bfloat16))
 
     all_iou, video_stats = [], {}
     current: list[np.ndarray] = []

@@ -52,7 +52,7 @@ def gaussian_importance_map(roi: tuple[int, int], sigma_scale: float = 0.125) ->
 @functools.partial(
     jax.jit,
     static_argnames=("predictor", "roi", "sw_batch_size", "overlap", "mode",
-                     "num_classes"),
+                     "num_classes", "compute_dtype"),
 )
 def sliding_window_inference(
     inputs: jnp.ndarray,
@@ -62,11 +62,19 @@ def sliding_window_inference(
     sw_batch_size: int = 24,
     overlap: float = 0.5,
     mode: str = "gaussian",  # | "constant"
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """``inputs`` (N, H, W, C) → blended logits (N, H, W, num_classes).
 
     ``predictor``: jit-traceable ``(B, rh, rw, C) -> (B, rh, rw, num_classes)``.
-    """
+
+    ``compute_dtype``: storage dtype of the per-window logits surface and
+    the blend products (the blend ACCUMULATES in f32 either way, and the
+    output is f32). The r5 infer trace showed the window-logits surface —
+    n·n_windows·rh·rw·nc, 1.57 GB f32 at the 6-frame full-HD default — is
+    the dominant non-model cost; bf16 halves its round-trip. bf16 matches
+    the reference's real-time surface, which runs the model AND MONAI's
+    blending under fp16 autocast (``Main_MMR_SegModel.py:1274-1317``)."""
     n, h, w, c = inputs.shape
     rh, rw = roi
     rh, rw = min(rh, h), min(rw, w)
@@ -106,7 +114,7 @@ def sliding_window_inference(
                 inputs, (v[0], v[1], v[2], 0), (1, rh, rw, c))[0]
 
         windows = jax.vmap(extract)(cb)  # (B, rh, rw, C)
-        return predictor(windows).astype(jnp.float32)
+        return predictor(windows).astype(compute_dtype)
 
     if fyx_j.shape[0] == 1:
         logits = fwd(fyx_j[0])
@@ -135,13 +143,20 @@ def sliding_window_inference(
 
 def make_sliding_window_fn(model, variables, roi, num_classes,
                            sw_batch_size=24, overlap=0.5, mode="gaussian",
-                           preprocess=None, mesh=None):
+                           preprocess=None, mesh=None,
+                           compute_dtype=jnp.float32):
     """Bind a flax model into a frame-batch predictor
     ``(N, H, W, 3) -> (N, H, W, C)`` logits.
 
     With ``mesh``, the frame axis (the per-video temporal batch) is sharded
     over the data mesh axis — each chip blends its own frames' windows; no
-    cross-chip reduction is needed (SURVEY.md §5.7's TPU mapping)."""
+    cross-chip reduction is needed (SURVEY.md §5.7's TPU mapping).
+
+    ``compute_dtype=jnp.bfloat16`` stores the preprocessed frames and the
+    window-logits surface in bf16 (f32 blend accumulation, f32 output) —
+    the reference's fp16-autocast real-time configuration
+    (``Main_MMR_SegModel.py:1274-1317``); halves the two dominant non-model
+    memory streams of the full-HD path."""
 
     def predictor(windows):
         return model.apply(variables, windows, train=False)
@@ -151,9 +166,11 @@ def make_sliding_window_fn(model, variables, roi, num_classes,
             frames = frames.astype(jnp.float32) / 255.0
         if preprocess is not None:
             frames = preprocess(frames)
+        frames = frames.astype(compute_dtype)
         return sliding_window_inference(
             frames, predictor, tuple(roi), num_classes,
-            sw_batch_size=sw_batch_size, overlap=overlap, mode=mode)
+            sw_batch_size=sw_batch_size, overlap=overlap, mode=mode,
+            compute_dtype=compute_dtype)
 
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(run)

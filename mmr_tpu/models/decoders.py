@@ -64,11 +64,11 @@ class SegmentationHead(nn.Module):
 
 
 class _EncoderMixin:
-    def _encode(self, x, train):
+    def _encode(self, x, train, **enc_kw):
         from mmr_tpu.models.encoders import get_encoder
 
         spec = get_encoder(self.encoder_name)
-        kw = {}
+        kw = {k: v for k, v in enc_kw.items() if v is not None}
         if getattr(self, "packed_frontend", False):
             # run the encoder front-end as packed fused kernels; high-res
             # features come back as PackedT (packed_encoder.py)
@@ -203,6 +203,39 @@ def smp_unetpp_plan(enc_ch: tuple[int, ...], dec_ch: tuple[int, ...]):
     return blocks
 
 
+def unetpp_row_geoms(enc_ch: tuple[int, ...], dec_ch: tuple[int, ...],
+                     h5: int, w5: int, depth: int, min_hw: int):
+    """Packed row geometries ``{scale l: RowGeom | None}`` of the UNet++
+    decoder for a deepest-feature resolution (h5, w5) — the single source of
+    truth shared by ``_packed_decoder`` and the packed encoder front-end:
+    the front-end delivers skip features AT the decoder's row geometry so
+    they are consumed raw (pending prologue and all), with zero repacks.
+    (Before round 5 the front-end chose ``best_geom`` — unconstrained, p=8 —
+    while the decoder's tee budget picks p=4 at the 128² row, silently
+    unpack+repacking f2 every step.)"""
+    from mmr_tpu.models.packed_blocks import choose_row_geom
+
+    plan = smp_unetpp_plan(enc_ch, dec_ch)
+    enc_rev = list(enc_ch[::-1])
+    pieces: dict[tuple[int, int], list[int]] = {}
+    for (d, l), (in_ch, _skip_ch, _out_ch) in plan.items():
+        if l == d and l < depth:
+            pieces[(d, l)] = [in_ch, enc_rev[d + 1]]
+        elif l == depth and d == 0:
+            pieces[(d, l)] = [in_ch]
+        else:
+            base = enc_rev[l + 1]
+            pieces[(d, l)] = [in_ch] + [base] * (l - d) + [enc_rev[l + 1]]
+
+    def choose(l):
+        h, w = h5 * 2 ** (l + 1), w5 * 2 ** (l + 1)
+        rows = [(chans, plan[(d, ll)][2])
+                for (d, ll), chans in pieces.items() if ll == l]
+        return choose_row_geom(h, w, rows, min_hw)
+
+    return {l: choose(l) for l in range(depth + 1)}
+
+
 class UnetPlusPlusModel(nn.Module, _EncoderMixin):
     """UNet++ — smp-exact nested dense decoder.
 
@@ -242,7 +275,20 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
                  with_conf: bool = True):
         assert not self.packed_frontend or self.packed, \
             "packed_frontend requires packed=True"
-        feats = self._encode(x, train)
+        enc_kw = {}
+        if self.packed_frontend:
+            # hand the front-end the decoder's OWN row geometry for the f2
+            # scale so b0_0's pointwise GEMM emits decoder-native (no
+            # unpack/repack of the skip; see unetpp_row_geoms)
+            from mmr_tpu.models.encoders import get_encoder
+
+            spec_ch = tuple(get_encoder(self.encoder_name).channels)
+            hints = unetpp_row_geoms(
+                spec_ch, self.decoder_channels, x.shape[1] // 32,
+                x.shape[2] // 32, len(spec_ch) - 1, self.packed_min_hw)
+            enc_kw["f2_geom"] = hints.get(2)
+            enc_kw["f3_geom"] = hints.get(1)
+        feats = self._encode(x, train, **enc_kw)
         feats = [f for f in feats if f is not None]
         fr = feats[::-1]                       # [f5 .. f1], smp order
         depth = len(fr) - 1
@@ -302,35 +348,16 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         import mmr_tpu.ops.pallas.packed_chain as pc
         from mmr_tpu.models.packed_blocks import (
             PackedConvBN, PackedHeadLoss, PackedT, as_array, as_packed,
-            choose_row_geom, pack_into, pack_up_lazy, upsample_packed)
+            pack_into, pack_up_lazy, upsample_packed)
 
         assert not self.deep_supervision, "packed path: deep_supervision off"
 
-        # input-piece channel lists per node (python-static, from the plan)
+        # row geometries from the shared single source of truth (also used
+        # pre-encode to aim the packed front-end's skip deliveries)
         enc_rev = [getattr(f, "c", None) or f.shape[-1] for f in fr]
-        pieces: dict[tuple[int, int], list[int]] = {}
-        for (d, l), (in_ch, skip_ch, out_ch) in plan.items():
-            if l == d and l < depth:      # layer-0 node: up(feat) + feat
-                pieces[(d, l)] = [in_ch, enc_rev[d + 1]]
-            elif l == depth and d == 0:   # final node: no skips
-                pieces[(d, l)] = [in_ch]
-            else:
-                base = enc_rev[l + 1]
-                n_dense = l - d
-                pieces[(d, l)] = [in_ch] + [base] * n_dense + [enc_rev[l + 1]]
-
         h5, w5 = fr[0].shape[1], fr[0].shape[2]  # deepest feature resolution
-
-        def scale_hw(l):
-            return h5 * 2 ** (l + 1), w5 * 2 ** (l + 1)
-
-        def choose_geom(l):
-            h, w = scale_hw(l)
-            rows = [(chans, plan[(d, ll)][2])
-                    for (d, ll), chans in pieces.items() if ll == l]
-            return choose_row_geom(h, w, rows, self.packed_min_hw)
-
-        geoms = {l: choose_geom(l) for l in range(depth + 1)}
+        geoms = unetpp_row_geoms(tuple(enc_rev[::-1]), self.decoder_channels,
+                                 h5, w5, depth, self.packed_min_hw)
 
         # encoder features feed every node of their scale row — pack each
         # (feature, geometry) pair ONCE so the fwd packs don't repeat and the

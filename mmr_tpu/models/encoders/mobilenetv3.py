@@ -111,6 +111,20 @@ class MobileNetV3SmallEncoder(nn.Module):
     # pending-prologue) — only valid when the consumer is the packed
     # UNet++ decoder. Identical parameter tree either way.
     packed_frontend: bool = False
+    # the consumer's (decoder's) row geometry for the f2 scale: b0_0's
+    # pointwise GEMM emits f2 directly at this geometry so the skip is
+    # consumed raw with zero repacks (decoders.unetpp_row_geoms). None →
+    # the unconstrained best_geom (pre-round-5 behavior).
+    f2_geom: object = None
+    # same for the f3 scale (consumed by the packed b1 blocks' delivery)
+    f3_geom: object = None
+    # run the b1 IR pair (expand/dw/project, k3, no SE) packed too.
+    # MEASURED NEGATIVE on the flagship (docs/PERF.md round-5 "packed b1"):
+    # the diagonal-expanded dw taps do cp(=128 at p2)× the real depthwise
+    # MACs on the MXU — 3.4 ms/step of kernels + ~1.5 ms GEMM glue vs the
+    # ~2.0 ms XLA family they replace (284.2 → 278.5 f/s end to end).
+    # Correctness-proven machinery kept behind this flag.
+    packed_b1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,13 +132,41 @@ class MobileNetV3SmallEncoder(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name)
         ir = lambda *a, **kw: InvertedResidual(*a, dtype=self.dtype, **kw)
+        f3 = None
         if self.packed_frontend:
             from mmr_tpu.models.packed_encoder import (PackedDSBlock,
+                                                       PackedIRBlock,
+                                                       down_geom,
                                                        packed_stem)
 
             f1 = packed_stem(self, x, train)  # s2, 16 (PackedT, hswish pend.)
-            f2 = PackedDSBlock(16, dtype=self.dtype, name="b0_0")(f1, train)
-            x2 = f2.unpack().astype(self.dtype)  # NHWC for the XLA tail
+            f2 = PackedDSBlock(16, dtype=self.dtype, g_out=self.f2_geom,
+                               name="b0_0")(f1, train)
+            g2 = f2.geom
+            # b1 packed feasibility: the stride-2 dw needs p to halve
+            # cleanly, and b1_1's stride-1 dw tap matrices (9·L²·2 bytes at
+            # lanes(88)) must stay kernel-friendly (≤4 MB; p=8's 10.6 MB
+            # taps crowd out the row tiles)
+            g_d2 = (down_geom(g2) if g2.p % 2 == 0 and g2.h % 2 == 0
+                    and g2.w % 2 == 0 else None)
+            g_f3 = self.f3_geom
+            if g_f3 is None or g_d2 is None or not (
+                    g_f3.h == g_d2.h and g_f3.w == g_d2.w
+                    and g_f3.p % g_d2.p == 0
+                    and g_f3.p // g_d2.p in (1, 2)
+                    and g_f3.wb * (g_f3.p // g_d2.p) == g_d2.wb):
+                g_f3 = g_d2
+            use_b1 = (self.packed_b1 and g_d2 is not None
+                      and g_d2.p >= 2
+                      and 9 * g_f3.lanes(88) ** 2 * 2 <= 4 * 1024 * 1024)
+            if use_b1:
+                t = PackedIRBlock(72, 24, strides=2, g_out=g_f3,
+                                  dtype=self.dtype, name="b1_0")(f2, train)
+                f3 = PackedIRBlock(88, 24, strides=1, dtype=self.dtype,
+                                   name="b1_1")(t, train)  # s8, 24 (PackedT)
+                x3 = f3.unpack().astype(self.dtype)  # NHWC for b2_0
+            else:
+                x2 = f2.unpack().astype(self.dtype)  # NHWC for the XLA tail
         else:
             x = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype,
@@ -134,10 +176,12 @@ class MobileNetV3SmallEncoder(nn.Module):
                                     name="b0_0")(f1, train)  # s4, 16
             x2 = f2
 
-        x = ir(72, 24, 3, 2, False, "relu", name="b1_0")(x2, train)
-        f3 = ir(88, 24, 3, 1, False, "relu", name="b1_1")(x, train)  # s8, 24
+        if f3 is None:
+            x = ir(72, 24, 3, 2, False, "relu", name="b1_0")(x2, train)
+            f3 = ir(88, 24, 3, 1, False, "relu", name="b1_1")(x, train)
+            x3 = f3  # s8, 24
 
-        x = ir(96, 40, 5, 2, True, "hardswish", name="b2_0")(f3, train)
+        x = ir(96, 40, 5, 2, True, "hardswish", name="b2_0")(x3, train)
         x = ir(240, 40, 5, 1, True, "hardswish", name="b2_1")(x, train)
         x = ir(240, 40, 5, 1, True, "hardswish", name="b2_2")(x, train)
         x = ir(120, 48, 5, 1, True, "hardswish", name="b3_0")(x, train)

@@ -147,6 +147,161 @@ def _geom_convert_mats(p_a: int, cp_a: int, p_b: int, cp_b: int, w_pw,
     return m.reshape(r * p_a * cp_a, p_b * cp_b)
 
 
+def _pw_lanes(w_pw, g_in: pc.RowGeom, cin: int, g_out: pc.RowGeom, cout: int,
+              pro=None):
+    """Lane-GEMM matrix + bias for a 1×1 conv ``w_pw`` (cin, cout) from
+    ``g_in`` to ``g_out`` (r = g_out.p/g_in.p ∈ {1, 2} block-pair merge),
+    optionally FOLDING a pending linear prologue (2, cin): conv_pw(s⊙x + t)
+    = (diag(s)·W)·x + (t·W) — the pending BN of the producer costs nothing.
+    Returns ``(m, bias_lanes_or_None)`` with m in bf16, bias in f32."""
+    w = w_pw.astype(jnp.float32)
+    bias_l = None
+    if pro is not None:
+        w = pro[0][:, None] * w
+        bias = pro[1] @ w_pw.astype(jnp.float32)          # (cout,)
+        bias_l = jnp.tile(jnp.pad(bias, (0, g_out.cp(cout) - cout)),
+                          g_out.p)[None]                  # (1, L_out)
+    m = _geom_convert_mats(g_in.p, g_in.cp(cin), g_out.p, g_out.cp(cout),
+                           w.astype(jnp.bfloat16), cin)
+    return m, bias_l
+
+
+class PackedIRBlock(nn.Module):
+    """timm InvertedResidual (b1 flavor: k3, expand→dw→project, NO SE,
+    relu) in packed space — the round-5 packed extension of the encoder
+    front-end (docs/PERF.md round-4 handoff item 1; reference: timm
+    mobilenetv3_small blocks[1], consumed via smp's TimmUniversalEncoder at
+    ``Main_MMR_SegModel.py:589``).
+
+    - expand 1×1: lane GEMM at the input geometry, folding the input's
+      pending linear prologue into the matrix (``_pw_lanes``); BN1 + relu
+      travel as the dw kernel's prologue.
+    - dw 3×3 (stride 1 or 2): one fused packed launch with a
+      diagonal-expanded dense kernel (``fused_conv`` / ``fused_conv_down``);
+      BN2 + relu deferred.
+    - project 1×1: relu-applied core → lane GEMM into ``g_out`` (the
+      decoder's row geometry for this scale); BN3 deferred (act linear).
+    - stride-1 + equal channels: the residual materializes both affines in
+      one elementwise pass (sum of two deferred affines has no raw+pro
+      form) and the block returns a FINAL (pro=None) PackedT.
+
+    Param/variable tree identical to ``InvertedResidual`` (conv_pw, bn1,
+    conv_dw, bn2, conv_pwl, bn3) — checkpoints interchange."""
+
+    exp_ch: int
+    out_ch: int
+    strides: int = 1
+    g_out: object = None   # delivery geometry (decoder row); None→dw geom
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t_in: PackedT, train: bool = False) -> PackedT:
+        g_in = t_in.geom
+        cin, ce, co = t_in.c, self.exp_ch, self.out_ch
+        g_d = down_geom(g_in) if self.strides == 2 else g_in
+        g_out = self.g_out
+        if g_out is not None and not (
+                g_out.h == g_d.h and g_out.w == g_d.w
+                and g_out.p % g_d.p == 0 and g_out.p // g_d.p in (1, 2)
+                and g_out.wb * (g_out.p // g_d.p) == g_d.wb):
+            g_out = None
+        if g_out is None:
+            g_out = g_d
+        b = t_in.data.shape[0]
+        emit = bool(train)
+        kpw = _KParam((1, 1, cin, ce), name="conv_pw")()
+        kdw = _KParam((3, 3, 1, ce), name="conv_dw")()
+        kpwl = _KParam((1, 1, ce, co), name="conv_pwl")()
+
+        if self.is_initializing():
+            # registration-only: create the BN params below on zero moments
+            zmom = (jnp.zeros((2, g_in.lanes(ce)), jnp.float32) if emit
+                    else None)
+            DeferredBN(ce, name="bn1")(zmom, 1, g_in.p, g_in.cp(ce), train)
+            zmom2 = (jnp.zeros((2, g_d.lanes(ce)), jnp.float32) if emit
+                     else None)
+            DeferredBN(ce, name="bn2")(zmom2, 1, g_d.p, g_d.cp(ce), train)
+            zmom3 = (jnp.zeros((2, g_out.lanes(co)), jnp.float32) if emit
+                     else None)
+            DeferredBN(co, name="bn3")(zmom3, 1, g_out.p, g_out.cp(co),
+                                       train)
+            return PackedT(
+                jnp.zeros((b, g_out.h + 2, g_out.wbp, g_out.lanes(co)),
+                          jnp.bfloat16), None, co, g_out, act="linear")
+
+        # ---- expand 1×1 (+ fold the input's pending linear prologue) ----
+        x = t_in
+        if x.pro is not None and x.act != "linear":
+            # non-linear pending act can't fold — apply it, then plain GEMM
+            x = PackedT(pc.to_packed(x.unpack(), g_in), None, cin, g_in)
+        m1, b1 = _pw_lanes(kpw[0, 0], g_in, cin, g_in, ce, pro=x.pro)
+        core = x.data[:, 1:-1, 1:1 + g_in.wb, :]
+        e = jax.lax.dot_general(core, m1, (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if b1 is not None:
+            e = e + b1
+        mom1 = (jnp.stack([e.sum((0, 1, 2)), (e * e).sum((0, 1, 2))])
+                if emit else None)
+        pro1 = DeferredBN(ce, name="bn1")(mom1, b * g_in.h * g_in.w, g_in.p,
+                                          g_in.cp(ce), train)
+        ep = jnp.pad(e.astype(jnp.bfloat16),
+                     [(0, 0), (1, 1), (1, g_in.wbp - g_in.wb - 1), (0, 0)])
+
+        # ---- depthwise 3×3 (BN1 + relu as the kernel prologue) ----
+        w_dense = kdw[:, :, 0, :][..., None, :] * jnp.eye(ce)[None, None]
+        pro1_l = _pro_lanes(pro1, g_in.p, g_in.cp(ce))
+        if self.strides == 2:
+            cfg = pc.DownCfg(g_src=g_in, g_dst=g_d, l_in=g_in.lanes(ce),
+                             lo=g_d.lanes(ce), pro="relu", has_bias=False,
+                             emit_moments=emit, need_dx=True)
+            y, mom2 = pc.fused_conv_down(cfg, ep, w_dense, pro1_l, None)
+        else:
+            from mmr_tpu.ops.pallas.conv3x3_packed import _toeplitz
+
+            cfg = pc.FusedCfg(geom=g_d, l_list=(g_d.lanes(ce),),
+                              lo=g_d.lanes(ce), pro_mask=("relu",),
+                              has_bias=False, emit_moments=emit)
+            tee = _toeplitz(w_dense, g_d.p, g_d.cp(ce), g_d.cp(ce))
+            y, mom2 = pc.fused_conv(cfg, (ep,), (tee,), (pro1_l,), None)
+        pro2 = DeferredBN(ce, name="bn2")(mom2, b * g_d.h * g_d.w, g_d.p,
+                                          g_d.cp(ce), train)
+
+        # ---- project 1×1 (relu-applied core → delivery geometry) ----
+        s_l = _pro_lanes(pro2, g_d.p, g_d.cp(ce))
+        a = jnp.maximum(y[:, 1:-1, 1:1 + g_d.wb, :].astype(jnp.float32)
+                        * s_l[0] + s_l[1], 0.0).astype(jnp.bfloat16)
+        r = g_out.p // g_d.p
+        m2, _ = _pw_lanes(kpwl[0, 0], g_d, ce, g_out, co)
+        ar = a.reshape(b, g_d.h, g_d.wb // r, r * g_d.p * g_d.cp(ce))
+        out = jax.lax.dot_general(ar, m2, (((3,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        mom3 = (jnp.stack([out.sum((0, 1, 2)), (out * out).sum((0, 1, 2))])
+                if emit else None)
+        pro3 = DeferredBN(co, name="bn3")(mom3, b * g_out.h * g_out.w,
+                                          g_out.p, g_out.cp(co), train)
+
+        if self.strides == 1 and cin == co:
+            # residual: sum of two deferred affines — materialize both
+            # (one elementwise pass; the result is final, pro=None)
+            sc_l = (_pro_lanes(t_in.pro, g_in.p, g_in.cp(cin))
+                    if t_in.pro is not None else None)
+            shortcut = t_in.data[:, 1:-1, 1:1 + g_in.wb, :] \
+                .astype(jnp.float32)
+            if sc_l is not None:
+                shortcut = shortcut * sc_l[0] + sc_l[1]
+            p3_l = _pro_lanes(pro3, g_out.p, g_out.cp(co))
+            fin = out * p3_l[0] + p3_l[1] + shortcut
+            fp = jnp.pad(fin.astype(jnp.bfloat16),
+                         [(0, 0), (1, 1), (1, g_out.wbp - g_out.wb - 1),
+                          (0, 0)])
+            return PackedT(fp, None, co, g_out, act="linear")
+
+        out_p = jnp.pad(out.astype(jnp.bfloat16),
+                        [(0, 0), (1, 1), (1, g_out.wbp - g_out.wb - 1),
+                         (0, 0)])
+        return PackedT(out_p, pro3, co, g_out, act="linear")
+
+
 class PackedDSBlock(nn.Module):
     """timm 'ds' block (b0_0: dw3×3/2 + BN + relu → SE → pw1×1 + BN) in
     packed space. The depthwise conv is a fused_conv_down with a
@@ -158,12 +313,23 @@ class PackedDSBlock(nn.Module):
 
     ch: int = 16
     dtype: jnp.dtype = jnp.bfloat16
+    # the consumer's row geometry for the output scale (the pointwise GEMM
+    # emits straight into it — zero repacks downstream); must be reachable
+    # by the r ∈ {1, 2} block-pair merge from the dw geometry, else ignored
+    g_out: object = None
 
     @nn.compact
     def __call__(self, t_in: PackedT, train: bool = False) -> PackedT:
         g_s = t_in.geom
         g_d = down_geom(g_s)                      # dw output geometry
-        g_out = best_geom(g_d.h, g_d.w)           # pw output geometry
+        g_out = self.g_out
+        if g_out is not None and not (
+                g_out.h == g_d.h and g_out.w == g_d.w
+                and g_out.p % g_d.p == 0 and g_out.p // g_d.p in (1, 2)
+                and g_out.wb * (g_out.p // g_d.p) == g_d.wb):
+            g_out = None
+        if g_out is None:
+            g_out = best_geom(g_d.h, g_d.w)       # pw output geometry
         assert g_out is not None
         b = t_in.data.shape[0]
         c = self.ch

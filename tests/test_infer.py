@@ -61,3 +61,26 @@ def test_overlap_075(rng):
         jnp.asarray(x), lambda w: w, roi=(32, 32), num_classes=2,
         sw_batch_size=8, overlap=0.75)
     np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
+
+
+def test_bf16_blend_matches_f32_within_bf16_noise(rng):
+    """compute_dtype=bf16 (the production/evaluator default — the
+    reference's fp16-autocast real-time surface) stores window logits in
+    bf16 but still accumulates the blend in f32: the result tracks the f32
+    blend within bf16 rounding, and the output dtype stays f32."""
+    import jax.numpy as jnp
+
+    x = rng.rand(2, 40, 56, 3).astype(np.float32)
+
+    def pred(w):
+        return w * 1.7 - 0.3
+
+    out32 = sliding_window_inference(
+        jnp.asarray(x), pred, roi=(16, 16), num_classes=3,
+        sw_batch_size=4, overlap=0.5)
+    out16 = sliding_window_inference(
+        jnp.asarray(x), pred, roi=(16, 16), num_classes=3,
+        sw_batch_size=4, overlap=0.5, compute_dtype=jnp.bfloat16)
+    assert out16.dtype == jnp.float32
+    a, b = np.asarray(out32), np.asarray(out16)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.02

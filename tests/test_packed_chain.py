@@ -408,6 +408,100 @@ class TestPackedFrontend:
                 err = np.abs(ai - bi).max() / (np.abs(bi).max() + 1e-8)
                 assert err < 0.25, (name, err)
 
+    def test_packed_b1_feature_and_grads(self, rng):
+        """The packed b1 IR pair (expand lane-GEMM with folded prologue →
+        diagonal-tap dw launch → project GEMM → residual) == the XLA
+        ``InvertedResidual`` pair: f3 values, b1 BN batch stats, and every
+        b1 parameter gradient through an f3-level loss (round-5 packed
+        encoder tail; reference: timm mobilenetv3_small blocks[1]).
+
+        Gradients are asserted against a PURE-f32 oracle (the standard
+        encoder at dtype f32), bounding the packed path's deviation by the
+        bf16 XLA path's own: deep-BN scale grads are cancellation-dominated
+        sums (Σ dy·x̂ with batch-standardized x̂) whose true value is ~0 —
+        measured, the bf16 XLA path deviates from the f32 truth 25× MORE
+        than the packed path there, so packed-vs-XLA relative error is a
+        meaningless test."""
+        from mmr_tpu.models.encoders import get_encoder
+
+        spec = get_encoder("tu-mobilenetv3_small_100")
+        enc_s = spec.build(jnp.bfloat16, "encoder")
+        enc_p = spec.build(jnp.bfloat16, "encoder", packed_frontend=True,
+                           packed_b1=True)  # flag-gated (measured negative
+        # on the flagship; machinery kept correctness-proven)
+        enc_f = spec.build(jnp.float32, "encoder")
+        x = jnp.asarray(rng.rand(1, 256, 256, 3).astype(np.float32))
+        variables = enc_s.init(jax.random.key(0), x, train=False)
+        r3 = jnp.asarray(rng.randn(1, 32, 32, 24).astype(np.float32))
+
+        def f3_loss(params, enc):
+            out, mut = enc.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            f3 = out[2]
+            f3 = f3.unpack() if hasattr(f3, "unpack") else f3
+            return (f3.astype(jnp.float32) * r3).sum(), (f3, mut)
+
+        (_, (f3_s, m_s)), g_std = jax.value_and_grad(
+            lambda p: f3_loss(p, enc_s), has_aux=True)(variables["params"])
+        (_, (f3_p, m_p)), g_pk = jax.value_and_grad(
+            lambda p: f3_loss(p, enc_p), has_aux=True)(variables["params"])
+        (_, _), g_f32 = jax.value_and_grad(
+            lambda p: f3_loss(p, enc_f), has_aux=True)(variables["params"])
+        f3_p = f3_p.unpack() if hasattr(f3_p, "unpack") else f3_p
+        a = np.asarray(f3_s, np.float32)
+        b = np.asarray(f3_p, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.04, rel
+        for blk in ("b1_0", "b1_1"):
+            for bn in ("bn1", "bn2", "bn3"):
+                sa = m_s["batch_stats"][blk][bn]
+                sb = m_p["batch_stats"][blk][bn]
+                np.testing.assert_allclose(np.asarray(sb["mean"]),
+                                           np.asarray(sa["mean"]),
+                                           atol=0.03, rtol=0.1)
+                np.testing.assert_allclose(np.asarray(sb["var"]),
+                                           np.asarray(sa["var"]),
+                                           atol=0.03, rtol=0.1)
+            pa = jax.tree_util.tree_leaves(g_std[blk])
+            pb = jax.tree_util.tree_leaves(g_pk[blk])
+            pf = jax.tree_util.tree_leaves(g_f32[blk])
+            for ai, bi, fi in zip(pb, pa, pf):
+                ai = np.asarray(ai, np.float64)  # packed
+                bi = np.asarray(bi, np.float64)  # bf16 XLA
+                fi = np.asarray(fi, np.float64)  # f32 truth
+                dev_p = np.abs(ai - fi).max()
+                dev_x = np.abs(bi - fi).max()
+                floor = 0.02 * (np.abs(fi).max() + 1.0)
+                assert dev_p <= 1.5 * dev_x + floor, \
+                    (blk, dev_p, dev_x, floor)
+
+
+def test_packed_b1_flagship_geometry_chain(rng):
+    """The packed b1 pair at the FLAGSHIP's 512² geometry relationships —
+    f2 delivered at p4 (the decoder's tee-budget row choice), so the b1_0 dw
+    runs p4→p2 (phases=1) and b1_1's stride-1 dw at p2/cp128 — on a scaled
+    width so the interpret run stays fast. Values vs the XLA encoder."""
+    import jax
+    from mmr_tpu.models.encoders import get_encoder
+
+    spec = get_encoder("tu-mobilenetv3_small_100")
+    f2g = pc.RowGeom(16, 64, 4, 16, 24)
+    f3g = pc.RowGeom(8, 32, 2, 16, 24)
+    enc_s = spec.build(jnp.bfloat16, "encoder")
+    enc_p = spec.build(jnp.bfloat16, "encoder", packed_frontend=True,
+                       packed_b1=True, f2_geom=f2g, f3_geom=f3g)
+    x = jnp.asarray(rng.rand(1, 64, 256, 3).astype(np.float32))
+    variables = enc_s.init(jax.random.key(0), x, train=False)
+    fs = enc_s.apply(variables, x, train=False)
+    fp = enc_p.apply(variables, x, train=False)
+    assert fp[1].geom == f2g and fp[2].geom == f3g  # delivered as hinted
+    for i in (1, 2):
+        a = np.asarray(fs[i], np.float32)
+        b = np.asarray(fp[i].unpack(), np.float32)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.04, (i, rel)
+
 
 def test_bwd_input_group_split_matches_unsplit(rng, monkeypatch):
     """When a node's backward doesn't fit VMEM, inputs are processed in
