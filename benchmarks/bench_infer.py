@@ -46,10 +46,12 @@ def main():
     # end-to-end on its real-time path). --sweep tries sw_batch sizes.
     sw_batch = int(sys.argv[sys.argv.index("--sw_batch") + 1]) \
         if "--sw_batch" in sys.argv else 24
+    fuse_blend = "--fuse_blend" in sys.argv
     sw = make_sliding_window_fn(model, variables, (512, 640), 10,
                                 sw_batch_size=sw_batch, overlap=0.5,
                                 preprocess=pre,
-                                compute_dtype=jnp.bfloat16)
+                                compute_dtype=jnp.bfloat16,
+                                fuse_blend=fuse_blend)
 
     # Two temporal-batch shapes (VERDICT r3 'do this' #4 — report both):
     # - 6 frames: the reference's DEFAULT ``infer_batch_size``
@@ -85,6 +87,7 @@ def main():
         "steadystate_12frame": round(fps12, 2),
         "sw_batch_size": sw_batch,
         "compute_dtype": "bfloat16",
+        "fuse_blend": fuse_blend,
     }))
 
 

@@ -41,6 +41,7 @@ ALLOWED_TRAINING_ARGS = [
 ]
 ALLOWED_TESTING_ARGS = [
     "infer_batch_size", "infer_num_workers", "sw_batch_size", "sw_overlap",
+    "sw_fp32_blend", "sw_chunked",
 ]
 FLEXIBLE_ARGS = ["lr_scheduler", "optimizer", "model"]
 PREFIX_ARGS = ["transformations", "lr_scheduler", "optimizer", "model", "mesh"]

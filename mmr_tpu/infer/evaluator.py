@@ -67,14 +67,19 @@ def run_inference(
 
     # bf16 window surface by default: the reference's real-time path runs
     # the model AND MONAI's blending under fp16 autocast
-    # (Main_MMR_SegModel.py:1274-1317); f32 blend accumulation either way
+    # (Main_MMR_SegModel.py:1274-1317); f32 blend accumulation either way.
+    # fuse_blend by default: per-frame scan blends each frame's window grid
+    # straight off the predictor output (measured +0.6 fps full-HD — the
+    # all-frames logits stack never round-trips HBM); sw_chunked opts back
+    # into the fixed-sw_batch chunk loop.
     sw = make_sliding_window_fn(
         model, variables, config["patch_size"], n_classes + 1,
         sw_batch_size=int(config.get("sw_batch_size", 24)),
         overlap=float(config.get("sw_overlap", 0.5)),
         preprocess=preprocess,
         compute_dtype=(jnp.float32 if config.get("sw_fp32_blend")
-                       else jnp.bfloat16))
+                       else jnp.bfloat16),
+        fuse_blend=not config.get("sw_chunked"))
 
     all_iou, video_stats = [], {}
     current: list[np.ndarray] = []

@@ -52,7 +52,7 @@ def gaussian_importance_map(roi: tuple[int, int], sigma_scale: float = 0.125) ->
 @functools.partial(
     jax.jit,
     static_argnames=("predictor", "roi", "sw_batch_size", "overlap", "mode",
-                     "num_classes", "compute_dtype"),
+                     "num_classes", "compute_dtype", "fuse_blend"),
 )
 def sliding_window_inference(
     inputs: jnp.ndarray,
@@ -63,6 +63,7 @@ def sliding_window_inference(
     overlap: float = 0.5,
     mode: str = "gaussian",  # | "constant"
     compute_dtype=jnp.float32,
+    fuse_blend: bool = False,
 ) -> jnp.ndarray:
     """``inputs`` (N, H, W, C) → blended logits (N, H, W, num_classes).
 
@@ -74,7 +75,17 @@ def sliding_window_inference(
     n·n_windows·rh·rw·nc, 1.57 GB f32 at the 6-frame full-HD default — is
     the dominant non-model cost; bf16 halves its round-trip. bf16 matches
     the reference's real-time surface, which runs the model AND MONAI's
-    blending under fp16 autocast (``Main_MMR_SegModel.py:1274-1317``)."""
+    blending under fp16 autocast (``Main_MMR_SegModel.py:1274-1317``).
+
+    ``fuse_blend``: scan over FRAMES instead of fixed-size window chunks —
+    each iteration runs one frame's whole window grid through the predictor
+    (model batch = n_windows, ``sw_batch_size`` ignored) and blends it into
+    the output canvas immediately, so the all-frames logits stack never
+    round-trips HBM and the blend consumes the predictor's output in place
+    (the r5 infer trace charged ~18.5 ms/call to the logits
+    unpack/relayout/stack chain between the chunk loop and the blend).
+    Same math per window; results match the chunked path to f32 exactness
+    for batch-independent (eval-mode) predictors."""
     n, h, w, c = inputs.shape
     rh, rw = roi
     rh, rw = min(rh, h), min(rw, w)
@@ -95,6 +106,41 @@ def sliding_window_inference(
     for (y, x) in coords:
         wsum_np[y:y + rh, x:x + rw, 0] += imp_np
     inv_wsum = jnp.asarray(1.0 / np.maximum(wsum_np, 1e-8))
+
+    # static-grid blend: every start offset is known at trace time, so the
+    # per-window scatter is a statically-padded add — windows of one grid
+    # row sum into an (rh, W) strip (pads in x), strips sum into the canvas
+    # (pads in y).  XLA tree-reduces the adds; no sequential
+    # dynamic_update_slice chain (the round-1 bottleneck, VERDICT #4).
+    def blend(lg):
+        wl = lg * imp[None, ..., None]
+        out = jnp.zeros((h, w, num_classes), jnp.float32)
+        for r, y in enumerate(ys):
+            strip = jnp.zeros((rh, w, num_classes), jnp.float32)
+            for k, x in enumerate(xs):
+                strip = strip + jnp.pad(
+                    wl[r * len(xs) + k], ((0, 0), (x, w - rw - x), (0, 0)))
+            out = out + jnp.pad(strip, ((y, h - rh - y), (0, 0), (0, 0)))
+        return out * inv_wsum
+
+    if fuse_blend:
+        coords_j = jnp.asarray(coords)
+
+        def frame_body(canvas, i):
+            def extract(v):
+                return jax.lax.dynamic_slice(
+                    inputs, (i, v[0], v[1], 0), (1, rh, rw, c))[0]
+
+            windows = jax.vmap(extract)(coords_j)  # (n_windows, rh, rw, C)
+            lg = predictor(windows).astype(compute_dtype)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, blend(lg)[None], (i, 0, 0, 0))
+            return canvas, None
+
+        canvas0 = jnp.zeros((n, h, w, num_classes), jnp.float32)
+        canvas, _ = jax.lax.scan(frame_body, canvas0,
+                                 jnp.arange(n, dtype=jnp.int32))
+        return canvas
 
     # one flat (frame, y, x) window stream across ALL frames, padded to a
     # multiple of sw_batch_size — the model is never vmapped (frame-level
@@ -121,30 +167,13 @@ def sliding_window_inference(
     else:
         logits = jax.lax.map(fwd, fyx_j).reshape(n_pad, rh, rw, num_classes)
     logits = logits[:n_total].reshape(n, n_windows, rh, rw, num_classes)
-
-    # static-grid blend: every start offset is known at trace time, so the
-    # per-window scatter is a statically-padded add — windows of one grid
-    # row sum into an (rh, W) strip (pads in x), strips sum into the canvas
-    # (pads in y).  XLA tree-reduces the adds; no sequential
-    # dynamic_update_slice chain (the round-1 bottleneck, VERDICT #4).
-    def blend(lg):
-        wl = lg * imp[None, ..., None]
-        out = jnp.zeros((h, w, num_classes), jnp.float32)
-        for r, y in enumerate(ys):
-            strip = jnp.zeros((rh, w, num_classes), jnp.float32)
-            for k, x in enumerate(xs):
-                strip = strip + jnp.pad(
-                    wl[r * len(xs) + k], ((0, 0), (x, w - rw - x), (0, 0)))
-            out = out + jnp.pad(strip, ((y, h - rh - y), (0, 0), (0, 0)))
-        return out * inv_wsum
-
     return jax.vmap(blend)(logits)
 
 
 def make_sliding_window_fn(model, variables, roi, num_classes,
                            sw_batch_size=24, overlap=0.5, mode="gaussian",
                            preprocess=None, mesh=None,
-                           compute_dtype=jnp.float32):
+                           compute_dtype=jnp.float32, fuse_blend=False):
     """Bind a flax model into a frame-batch predictor
     ``(N, H, W, 3) -> (N, H, W, C)`` logits.
 
@@ -170,7 +199,7 @@ def make_sliding_window_fn(model, variables, roi, num_classes,
         return sliding_window_inference(
             frames, predictor, tuple(roi), num_classes,
             sw_batch_size=sw_batch_size, overlap=overlap, mode=mode,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, fuse_blend=fuse_blend)
 
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(run)

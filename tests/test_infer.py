@@ -84,3 +84,30 @@ def test_bf16_blend_matches_f32_within_bf16_noise(rng):
     assert out16.dtype == jnp.float32
     a, b = np.asarray(out32), np.asarray(out16)
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.02
+
+
+def test_fuse_blend_matches_chunked_path(rng):
+    """fuse_blend=True (per-frame scan, blend consumes the predictor output
+    in place) must reproduce the chunked path exactly for a batch-independent
+    predictor — same windows, same importance weights, same f32 accumulate."""
+    import jax.numpy as jnp
+
+    x = rng.rand(3, 40, 56, 3).astype(np.float32)
+
+    def pred(w):
+        return w * 1.7 - 0.3
+
+    for mode in ("gaussian", "constant"):
+        base = sliding_window_inference(
+            jnp.asarray(x), pred, roi=(16, 16), num_classes=3,
+            sw_batch_size=4, overlap=0.5, mode=mode)
+        fused = sliding_window_inference(
+            jnp.asarray(x), pred, roi=(16, 16), num_classes=3,
+            sw_batch_size=4, overlap=0.5, mode=mode, fuse_blend=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   atol=1e-6)
+    # identity reconstruction through the fused path
+    out = sliding_window_inference(
+        jnp.asarray(x), lambda w: w, roi=(16, 16), num_classes=3,
+        sw_batch_size=4, overlap=0.5, fuse_blend=True)
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
