@@ -8,7 +8,8 @@ evidence for the inference ledger section in docs/PERF.md (VERDICT r4
 'do this' #2: the infer step had throughput tables but no trace
 decomposition anywhere).
 
-Usage: python benchmarks/profile_infer.py [n_frames=6]
+Usage: python benchmarks/profile_infer.py [n_frames=6] [--fuse_blend]
+       [--packed_blend]
 """
 
 from __future__ import annotations
@@ -36,7 +37,10 @@ def main():
     except Exception:
         pass
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    fuse_blend = "--fuse_blend" in sys.argv
+    packed_blend = "--packed_blend" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_frames = int(argv[0]) if argv else 6
     model, _ = create_model("UnetPlusPlus",
                             encoder_name="tu-mobilenetv3_small_100",
                             classes=10, packed=True, packed_frontend=True)
@@ -49,7 +53,9 @@ def main():
     sw = make_sliding_window_fn(model, variables, (512, 640), 10,
                                 sw_batch_size=24, overlap=0.5,
                                 preprocess=pre,
-                                compute_dtype=jnp.bfloat16)
+                                compute_dtype=jnp.bfloat16,
+                                fuse_blend=fuse_blend,
+                                packed_blend=packed_blend)
 
     frames = jax.device_put(
         np.random.rand(n_frames, 1080, 1920, 3).astype(np.float32))

@@ -71,7 +71,15 @@ def run_inference(
     # fuse_blend by default: per-frame scan blends each frame's window grid
     # straight off the predictor output (measured +0.6 fps full-HD — the
     # all-frames logits stack never round-trips HBM); sw_chunked opts back
-    # into the fixed-sw_batch chunk loop.
+    # into the fixed-sw_batch chunk loop. packed_blend when the model can
+    # emit its raw packed-layout head logits (packed UNet++): the blend
+    # runs in that layout and the per-window unpack/relayout chain never
+    # executes; it degrades gracefully (type/alignment fallbacks inside).
+    from mmr_tpu.models.decoders import UnetPlusPlusModel
+
+    packed_blend = (isinstance(model, UnetPlusPlusModel)
+                    and getattr(model, "packed", False)
+                    and not config.get("sw_chunked"))
     sw = make_sliding_window_fn(
         model, variables, config["patch_size"], n_classes + 1,
         sw_batch_size=int(config.get("sw_batch_size", 24)),
@@ -79,7 +87,8 @@ def run_inference(
         preprocess=preprocess,
         compute_dtype=(jnp.float32 if config.get("sw_fp32_blend")
                        else jnp.bfloat16),
-        fuse_blend=not config.get("sw_chunked"))
+        fuse_blend=not config.get("sw_chunked"),
+        packed_blend=packed_blend)
 
     all_iou, video_stats = [], {}
     current: list[np.ndarray] = []

@@ -123,22 +123,63 @@ def sliding_window_inference(
             out = out + jnp.pad(strip, ((y, h - rh - y), (0, 0), (0, 0)))
         return out * inv_wsum
 
+    # packed-canvas blend: when the predictor emits the head's raw PackedT
+    # logits surface (``packed_logits=True`` on the packed UNet++ path), the
+    # whole blend runs in the head's packed-lane layout — window cores are
+    # weighted and scatter-added into a PACKED canvas (x offsets become
+    # wb-block offsets; the grid must be p-aligned), and the blended canvas
+    # unpacks ONCE via a free row-major bitcast + class slice. The per-window
+    # from_packed transpose and every XLA relayout between the Mosaic head
+    # output and the NHWC blend disappear (the r5 infer trace charged
+    # ~11 ms/call to that chain even after fuse_blend).
+    def blend_packed(t):
+        from mmr_tpu.models.packed_blocks import PackedT  # noqa: F401
+        g = t.geom
+        if (g.h != rh or g.w != rw or w % g.p or any(x % g.p for x in xs)
+                or t.geom_src is not None):
+            return blend(t.unpack().astype(compute_dtype))  # misaligned grid
+        cp = g.lanes(num_classes) // g.p
+        core = t.data[:, 1:-1, 1:g.wb + 1, :]  # (B, rh, wb, p*cp) bf16
+        # lane l holds (pixel l//cp, channel l%cp) of its block — weight
+        # every channel of a pixel by that pixel's importance
+        imp_l = jnp.asarray(
+            np.repeat(imp_np.reshape(rh, g.wb, g.p), cp, axis=2))
+        wl = core * imp_l  # f32 products
+        wbc = w // g.p
+        out = jnp.zeros((h, wbc, g.p * cp), jnp.float32)
+        for r, y in enumerate(ys):
+            strip = jnp.zeros((rh, wbc, g.p * cp), jnp.float32)
+            for k, x in enumerate(xs):
+                xb = x // g.p
+                strip = strip + jnp.pad(
+                    wl[r * len(xs) + k],
+                    ((0, 0), (xb, wbc - g.wb - xb), (0, 0)))
+            out = out + jnp.pad(strip, ((y, h - rh - y), (0, 0), (0, 0)))
+        # (h, wbc, p·cp) → (h, w, cp) is a contiguous row-major bitcast
+        out = out.reshape(h, w, cp)[..., :num_classes]
+        return out * inv_wsum
+
     if fuse_blend:
         coords_j = jnp.asarray(coords)
 
-        def frame_body(canvas, i):
+        def frame_body(_, i):
+            from mmr_tpu.models.packed_blocks import PackedT
+
             def extract(v):
                 return jax.lax.dynamic_slice(
                     inputs, (i, v[0], v[1], 0), (1, rh, rw, c))[0]
 
             windows = jax.vmap(extract)(coords_j)  # (n_windows, rh, rw, C)
-            lg = predictor(windows).astype(compute_dtype)
-            canvas = jax.lax.dynamic_update_slice(
-                canvas, blend(lg)[None], (i, 0, 0, 0))
-            return canvas, None
+            lg = predictor(windows)
+            if isinstance(lg, PackedT):
+                frame_out = blend_packed(lg)
+            else:
+                frame_out = blend(lg.astype(compute_dtype))
+            return None, frame_out
 
-        canvas0 = jnp.zeros((n, h, w, num_classes), jnp.float32)
-        canvas, _ = jax.lax.scan(frame_body, canvas0,
+        # stacked scan output (ys) — XLA writes each frame's blend straight
+        # into the preallocated (n, h, w, nc) result; no canvas carry
+        _, canvas = jax.lax.scan(frame_body, None,
                                  jnp.arange(n, dtype=jnp.int32))
         return canvas
 
@@ -173,7 +214,8 @@ def sliding_window_inference(
 def make_sliding_window_fn(model, variables, roi, num_classes,
                            sw_batch_size=24, overlap=0.5, mode="gaussian",
                            preprocess=None, mesh=None,
-                           compute_dtype=jnp.float32, fuse_blend=False):
+                           compute_dtype=jnp.float32, fuse_blend=False,
+                           packed_blend=False):
     """Bind a flax model into a frame-batch predictor
     ``(N, H, W, 3) -> (N, H, W, C)`` logits.
 
@@ -185,9 +227,18 @@ def make_sliding_window_fn(model, variables, roi, num_classes,
     window-logits surface in bf16 (f32 blend accumulation, f32 output) —
     the reference's fp16-autocast real-time configuration
     (``Main_MMR_SegModel.py:1274-1317``); halves the two dominant non-model
-    memory streams of the full-HD path."""
+    memory streams of the full-HD path.
+
+    ``packed_blend=True`` (implies ``fuse_blend``): ask the model for its
+    raw packed-layout logits (``packed_logits=True`` — supported by the
+    packed UNet++ path) and blend in that layout; the per-window unpack and
+    its relayout copies never run. Falls back transparently when the model
+    returns plain NHWC logits or the window grid is not p-aligned."""
 
     def predictor(windows):
+        if packed_blend:
+            return model.apply(variables, windows, train=False,
+                               packed_logits=True)
         return model.apply(variables, windows, train=False)
 
     def run(frames):
@@ -199,7 +250,8 @@ def make_sliding_window_fn(model, variables, roi, num_classes,
         return sliding_window_inference(
             frames, predictor, tuple(roi), num_classes,
             sw_batch_size=sw_batch_size, overlap=overlap, mode=mode,
-            compute_dtype=compute_dtype, fuse_blend=fuse_blend)
+            compute_dtype=compute_dtype,
+            fuse_blend=fuse_blend or packed_blend)
 
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(run)

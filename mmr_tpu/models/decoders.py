@@ -272,7 +272,13 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
 
     @nn.compact
     def __call__(self, x, train: bool = False, labels=None,
-                 with_conf: bool = True):
+                 with_conf: bool = True, packed_logits: bool = False):
+        """``packed_logits=True`` (eval only): when the packed decoder runs,
+        return the head's raw ``PackedT`` logits surface instead of the
+        unpacked NHWC array — consumers that can read the packed layout
+        (e.g. the sliding-window packed-canvas blend) skip the per-call
+        unpack/relayout chain entirely. Falls through to NHWC when the
+        packed path is not taken (caller branches on the return type)."""
         assert not self.packed_frontend or self.packed, \
             "packed_frontend requires packed=True"
         enc_kw = {}
@@ -296,7 +302,7 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         plan = smp_unetpp_plan(enc_ch, self.decoder_channels)
         if self.packed:
             return self._packed_decoder(fr, depth, plan, train, labels,
-                                        with_conf)
+                                        with_conf, packed_logits)
 
         dense: dict[tuple[int, int], jnp.ndarray] = {}
         for layer in range(depth):
@@ -334,7 +340,7 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
         return logits
 
     def _packed_decoder(self, fr, depth, plan, train, labels=None,
-                        with_conf=True):
+                        with_conf=True, packed_logits=False):
         """Same smp topology; fine-resolution nodes run as packed fused
         kernels, coarse nodes stay on XLA (tiny tensors, big channel
         counts). One shared geometry per output scale (all ``x_*_l`` share
@@ -517,6 +523,8 @@ class UnetPlusPlusModel(nn.Module, _EncoderMixin):
                         * top.geom.w, "probs_packed": y}
             logits = PackedConvBN(self.num_classes, use_bn=False,
                                   name="head")([top], train)
+            if packed_logits:
+                return logits
             return logits.unpack().astype(jnp.float32)
         return SegmentationHead(self.num_classes, dtype=self.dtype,
                                 name="head")(top)
