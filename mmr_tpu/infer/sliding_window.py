@@ -132,12 +132,17 @@ def sliding_window_inference(
     # from_packed transpose and every XLA relayout between the Mosaic head
     # output and the NHWC blend disappear (the r5 infer trace charged
     # ~11 ms/call to that chain even after fuse_blend).
-    def blend_packed(t):
-        from mmr_tpu.models.packed_blocks import PackedT  # noqa: F401
+    def _packed_aligned(g):
+        return (g.h == rh and g.w == rw and w % g.p == 0
+                and all(x % g.p == 0 for x in xs))
+
+    def blend_packed_core(t):
+        """Weighted scatter-add of one frame's window cores into a PACKED
+        canvas (h, w//p, p·cp) f32 — the unpack (a free row-major bitcast
+        + class slice) and the 1/Σw multiply happen OUTSIDE the frame scan,
+        in one fused pass over the stacked canvases (doing them per frame
+        made XLA relayout every frame's canvas twice, ~6 ms/call)."""
         g = t.geom
-        if (g.h != rh or g.w != rw or w % g.p or any(x % g.p for x in xs)
-                or t.geom_src is not None):
-            return blend(t.unpack().astype(compute_dtype))  # misaligned grid
         cp = g.lanes(num_classes) // g.p
         core = t.data[:, 1:-1, 1:g.wb + 1, :]  # (B, rh, wb, p*cp) bf16
         # lane l holds (pixel l//cp, channel l%cp) of its block — weight
@@ -155,32 +160,46 @@ def sliding_window_inference(
                     wl[r * len(xs) + k],
                     ((0, 0), (xb, wbc - g.wb - xb), (0, 0)))
             out = out + jnp.pad(strip, ((y, h - rh - y), (0, 0), (0, 0)))
-        # (h, wbc, p·cp) → (h, w, cp) is a contiguous row-major bitcast
-        out = out.reshape(h, w, cp)[..., :num_classes]
-        return out * inv_wsum
+        return out
 
     if fuse_blend:
+        from mmr_tpu.models.packed_blocks import PackedT
+
         coords_j = jnp.asarray(coords)
+        # abstract-eval the predictor once: a PackedT result (on a
+        # p-aligned grid) switches the whole scan to the packed-canvas
+        # blend — the decision is static, the model is not executed
+        probe = jax.eval_shape(
+            predictor, jax.ShapeDtypeStruct((n_windows, rh, rw, c),
+                                            inputs.dtype))
+        packed_mode = (isinstance(probe, PackedT)
+                       and probe.geom_src is None
+                       and _packed_aligned(probe.geom))
 
         def frame_body(_, i):
-            from mmr_tpu.models.packed_blocks import PackedT
-
             def extract(v):
                 return jax.lax.dynamic_slice(
                     inputs, (i, v[0], v[1], 0), (1, rh, rw, c))[0]
 
             windows = jax.vmap(extract)(coords_j)  # (n_windows, rh, rw, C)
             lg = predictor(windows)
-            if isinstance(lg, PackedT):
-                frame_out = blend_packed(lg)
-            else:
-                frame_out = blend(lg.astype(compute_dtype))
-            return None, frame_out
+            if packed_mode:
+                return None, blend_packed_core(lg)
+            if isinstance(lg, PackedT):  # misaligned grid: unpack per frame
+                lg = lg.unpack()
+            return None, blend(lg.astype(compute_dtype))
 
         # stacked scan output (ys) — XLA writes each frame's blend straight
-        # into the preallocated (n, h, w, nc) result; no canvas carry
+        # into the preallocated result; no canvas carry
         _, canvas = jax.lax.scan(frame_body, None,
                                  jnp.arange(n, dtype=jnp.int32))
+        if packed_mode:
+            g = probe.geom
+            cp = g.lanes(num_classes) // g.p
+            # (n, h, w//p, p·cp) → (n, h, w, cp): contiguous row-major
+            # bitcast; then ONE fused class-slice + 1/Σw pass
+            canvas = canvas.reshape(n, h, w, cp)[..., :num_classes]
+            canvas = canvas * inv_wsum
         return canvas
 
     # one flat (frame, y, x) window stream across ALL frames, padded to a
